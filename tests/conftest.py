@@ -1,0 +1,31 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count); the real TPU is only used by
+bench.py and explicit on-device scripts, never by unit tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def quran_db():
+    from tilawa_tpu.data.quran import QuranDB
+
+    return QuranDB()
+
+
+@pytest.fixture(scope="session")
+def tokenizer():
+    from tilawa_tpu.data.tokenizer import SentencePieceBPE
+
+    return SentencePieceBPE.load_default()

@@ -1,0 +1,21 @@
+"""tilawa-tpu — TPU-native offline Quran verse recognition framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+yazinsai/offline-tarteel ("Tilawa"): raw 16 kHz mono audio in,
+(surah, ayah[, ayah_end]) out, plus streaming verse tracking.
+
+Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
+
+  tilawa_tpu.data       — assets, Quran verse store + retrieval, tokenizer, audio IO
+  tilawa_tpu.text       — edit-distance primitives (native C++ + Python fallback)
+  tilawa_tpu.models     — Flax model families (FastConformer CTC flagship)
+  tilawa_tpu.ops        — JAX/Pallas compute kernels (mel frontend, CTC, quant matmul)
+  tilawa_tpu.parallel   — mesh/sharding layer (batch-axis SPMD over ICI)
+  tilawa_tpu.pipeline   — batch inference pipelines (predict/transcribe/TTA)
+  tilawa_tpu.streaming  — streaming state machines + WebSocket serving
+  tilawa_tpu.train      — optax CTC training loop + checkpointing + export
+  tilawa_tpu.eval       — benchmark runner, corpora, metrics
+  tilawa_tpu.utils      — profiling, config, registry
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,433 @@
+"""Quran verse store + fuzzy retrieval.
+
+Behavioral parity with the reference engine (reference: shared/quran_db.py —
+verse store lines 39-90, trigram index 151-186, continuation bonuses 121-142,
+fragment/suffix-prefix scoring 188-237, two-pass match_verse 244-371), built
+TPU-framework-style: every corpus-wide scoring pass is one batched native
+edit-distance scan (tilawa_tpu.text.levenshtein.Corpus) instead of a
+per-verse Python loop, and span texts are cached per (surah, span) so the
+multi-ayah pass is also a single batched scan per surah.
+
+Scoring semantics preserved exactly:
+  * ratio() is python-Levenshtein-compatible (indel / LCS based)
+  * fragment scoring blends partial_ratio at 0.75 with a shorter-verse
+    penalty; exact interior substrings of >=3 words score >= 0.98
+  * continuation bonuses +0.22/+0.12/+0.06 for the 1st/2nd/3rd expected
+    next verse (wrapping into the next surah at surah end)
+  * suffix-prefix scoring slides up to 4 residual words off the front of
+    the query for continuation candidates
+  * span pass enumerates 2..max_span consecutive-ayah windows inside the
+    top-20 candidate surahs, bismillah-stripped on the first verse
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+
+from tilawa_tpu.data.assets import default_asset_path
+from tilawa_tpu.data.normalizer import normalize_arabic
+from tilawa_tpu.text import levenshtein as lev
+from tilawa_tpu.text.levenshtein import Corpus, partial_ratio, ratio
+
+BISMILLAH_CLEAN = normalize_arabic("بسم الله الرحمن الرحيم")
+
+_CONT_BONUSES = (0.22, 0.12, 0.06)
+
+
+def _fragment_blend(text: str, verse_text: str, full_ratio: float,
+                    frag: float | None = None) -> float:
+    """Blend a full-string ratio with partial (windowed) matching for long
+    queries against longer verses (reference: shared/quran_db.py:212-237)."""
+    query_words = text.split()
+    verse_words = verse_text.split()
+    if len(query_words) >= 3 and f" {text} " in f" {verse_text} ":
+        return max(full_ratio, 0.98)
+    if len(query_words) < 4 or len(verse_words) < 2:
+        return full_ratio
+    if frag is None:
+        frag = partial_ratio(text, verse_text)
+    if frag <= full_ratio:
+        return full_ratio
+    shorter_penalty = min(1.0, len(verse_words) / max(len(query_words), 1))
+    blended = 0.25 * full_ratio + 0.75 * frag * shorter_penalty
+    return max(full_ratio, blended)
+
+
+def _suffix_prefix_score(text: str, verse_text: str) -> float:
+    """Best ratio of query-suffixes vs equal-word-count verse prefixes —
+    recovers continuation matches when residual words from the previous
+    verse lead the window (reference: shared/quran_db.py:188-209)."""
+    words_t = text.split()
+    words_v = verse_text.split()
+    if len(words_t) < 2 or len(words_v) < 2:
+        return 0.0
+    best = 0.0
+    for trim in range(1, min(len(words_t) // 2, 4) + 1):
+        suffix = " ".join(words_t[trim:])
+        n = len(words_t) - trim
+        prefix = " ".join(words_v[: min(n, len(words_v))])
+        best = max(best, ratio(suffix, prefix))
+    return best
+
+
+def _char_trigrams(text: str) -> set[str]:
+    return {text[i : i + 3] for i in range(len(text) - 2)} if len(text) >= 3 else set()
+
+
+class QuranDB:
+    """Verse store with trigram-indexed fuzzy retrieval over 6,236 verses."""
+
+    def __init__(self, path: str | Path | None = None):
+        path = Path(path) if path else default_asset_path("quran.json")
+        with open(path, encoding="utf-8") as f:
+            self.verses: list[dict] = json.load(f)
+
+        self._by_ref: dict[tuple[int, int], dict] = {}
+        self._by_surah: dict[int, list[dict]] = {}
+        for v in self.verses:
+            v["text_clean"] = v["text_clean"].lstrip("﻿")
+            v["text_clean_alt"] = normalize_arabic(v["text_uthmani"]).lstrip("﻿")
+            self._by_ref[(v["surah"], v["ayah"])] = v
+            self._by_surah.setdefault(v["surah"], []).append(v)
+            no_bsm = None
+            if (
+                v["ayah"] == 1
+                and v["surah"] not in (1, 9)
+                and v["text_clean"].startswith(BISMILLAH_CLEAN)
+            ):
+                stripped = v["text_clean"][len(BISMILLAH_CLEAN) :].strip()
+                no_bsm = stripped or None
+            v["text_clean_no_bsm"] = no_bsm
+
+        self._ref_to_idx = {
+            (v["surah"], v["ayah"]): i for i, v in enumerate(self.verses)
+        }
+
+        # Pre-encoded corpora for batched native scans.
+        self._corpus_clean = Corpus([v["text_clean"] for v in self.verses])
+        self._corpus_alt = Corpus([v["text_clean_alt"] for v in self.verses])
+        self._corpus_spaceless = Corpus(
+            [v["text_clean"].replace(" ", "") for v in self.verses]
+        )
+        self._word_counts = np.array(
+            [len(v["text_clean"].split()) for v in self.verses], dtype=np.int32
+        )
+        self._word_counts_alt = np.array(
+            [len(v["text_clean_alt"].split()) for v in self.verses], dtype=np.int32
+        )
+
+        # Span-text caches: (surah, span_len) -> (texts Corpus, start ayahs).
+        self._span_cache: dict[tuple[int, int], tuple[Corpus, list[int]]] = {}
+
+        self._build_trigram_index()
+
+    # ------------------------------------------------------------- accessors
+
+    @property
+    def total_verses(self) -> int:
+        return len(self.verses)
+
+    @property
+    def surah_count(self) -> int:
+        return len(self._by_surah)
+
+    def get_verse(self, surah: int, ayah: int) -> dict | None:
+        return self._by_ref.get((surah, ayah))
+
+    def get_surah(self, surah: int) -> list[dict]:
+        return self._by_surah.get(surah, [])
+
+    def get_next_verse(self, surah: int, ayah: int) -> dict | None:
+        """Next verse after surah:ayah, wrapping to the next surah."""
+        verses = self._by_surah.get(surah, [])
+        for i, v in enumerate(verses):
+            if v["ayah"] == ayah:
+                if i + 1 < len(verses):
+                    return verses[i + 1]
+                nxt = self._by_surah.get(surah + 1, [])
+                return nxt[0] if nxt else None
+        return None
+
+    # --------------------------------------------------------- trigram index
+
+    def _build_trigram_index(self) -> None:
+        posting: dict[str, set[int]] = defaultdict(set)
+        n = len(self.verses)
+        for idx, v in enumerate(self.verses):
+            tris = _char_trigrams(v["text_clean"]) | _char_trigrams(v["text_clean_alt"])
+            if v["text_clean_no_bsm"]:
+                tris |= _char_trigrams(v["text_clean_no_bsm"])
+            for tri in tris:
+                posting[tri].add(idx)
+        self._trigram_index: dict[str, np.ndarray] = {}
+        self._idf: dict[str, float] = {}
+        for tri, indices in posting.items():
+            self._trigram_index[tri] = np.fromiter(
+                sorted(indices), dtype=np.int32, count=len(indices)
+            )
+            self._idf[tri] = math.log(n / len(indices))
+
+    def trigram_candidates(self, text: str, top_k: int = 50) -> list[int]:
+        """Top-k verse indices by IDF-weighted trigram overlap."""
+        trigrams = _char_trigrams(text)
+        if not trigrams:
+            return []
+        scores = np.zeros(len(self.verses), dtype=np.float64)
+        hit = np.zeros(len(self.verses), dtype=bool)
+        for tri in trigrams:
+            w = self._idf.get(tri)
+            if w is None:
+                continue
+            idxs = self._trigram_index[tri]
+            scores[idxs] += w
+            hit[idxs] = True
+        cand = np.nonzero(hit)[0]
+        if cand.size == 0:
+            return []
+        order = cand[np.argsort(-scores[cand], kind="stable")]
+        return order[:top_k].tolist()
+
+    # ----------------------------------------------------------- span texts
+
+    def _span_corpus(self, surah: int, span: int) -> tuple[Corpus, list[int]]:
+        key = (surah, span)
+        hit = self._span_cache.get(key)
+        if hit is not None:
+            return hit
+        verses = self._by_surah[surah]
+        texts, starts = [], []
+        for i in range(len(verses) - span + 1):
+            chunk = verses[i : i + span]
+            first = chunk[0]["text_clean_no_bsm"] or chunk[0]["text_clean"]
+            texts.append(" ".join([first] + [c["text_clean"] for c in chunk[1:]]))
+            starts.append(chunk[0]["ayah"])
+        entry = (Corpus(texts), starts)
+        self._span_cache[key] = entry
+        return entry
+
+    def span_text(self, surah: int, start: int, end: int) -> str | None:
+        """Combined clean text of verses surah:start..end (bismillah-stripped
+        on the first), or None if any verse is missing."""
+        chunk = [self.get_verse(surah, a) for a in range(start, end + 1)]
+        if any(v is None for v in chunk):
+            return None
+        first = chunk[0]["text_clean_no_bsm"] or chunk[0]["text_clean"]
+        return " ".join([first] + [v["text_clean"] for v in chunk[1:]])
+
+    # -------------------------------------------------------------- scoring
+
+    def _continuation_bonuses(
+        self, hint: tuple[int, int] | None
+    ) -> dict[tuple[int, int], float]:
+        if not hint:
+            return {}
+        h_surah, h_ayah = hint
+        bonuses: dict[tuple[int, int], float] = {}
+        if (h_surah, h_ayah + 1) in self._by_ref:
+            for step, bonus in enumerate(_CONT_BONUSES, start=1):
+                if (h_surah, h_ayah + step) in self._by_ref:
+                    bonuses[(h_surah, h_ayah + step)] = bonus
+                else:
+                    break
+        else:
+            for i, nv in enumerate(self._by_surah.get(h_surah + 1, [])[:3]):
+                bonuses[(nv["surah"], nv["ayah"])] = _CONT_BONUSES[i]
+        return bonuses
+
+    def _batch_fragment_scores(self, text: str) -> np.ndarray:
+        """max over {text_clean, text_clean_alt} of the fragment-blended
+        ratio, for every verse, via batched native scans."""
+        r_clean = self._corpus_clean.batch_ratio(text)
+        r_alt = self._corpus_alt.batch_ratio(text)
+        nq = len(text.split())
+        if nq >= 4:
+            p_clean = self._corpus_clean.batch_partial_ratio(text)
+            p_alt = self._corpus_alt.batch_partial_ratio(text)
+        else:
+            p_clean = p_alt = None
+        out = np.empty(len(self.verses), dtype=np.float64)
+        padded = f" {text} "
+        for i, v in enumerate(self.verses):
+            fc = self._blend_one(
+                text, nq, v["text_clean"], int(self._word_counts[i]),
+                r_clean[i], None if p_clean is None else p_clean[i], padded,
+            )
+            fa = self._blend_one(
+                text, nq, v["text_clean_alt"], int(self._word_counts_alt[i]),
+                r_alt[i], None if p_alt is None else p_alt[i], padded,
+            )
+            out[i] = fc if fc >= fa else fa
+        return out
+
+    @staticmethod
+    def _blend_one(text: str, nq: int, verse_text: str, nv: int,
+                   full_ratio: float, frag: float | None, padded: str) -> float:
+        if nq >= 3 and padded in f" {verse_text} ":
+            return max(full_ratio, 0.98)
+        if nq < 4 or nv < 2 or frag is None:
+            return full_ratio
+        if frag <= full_ratio:
+            return full_ratio
+        shorter_penalty = min(1.0, nv / max(nq, 1))
+        blended = 0.25 * full_ratio + 0.75 * frag * shorter_penalty
+        return max(full_ratio, blended)
+
+    def best_fragment_score(self, text: str, verse: dict) -> float:
+        """Single-verse fragment score (max over clean/alt texts)."""
+        return max(
+            _fragment_blend(text, verse["text_clean"], ratio(text, verse["text_clean"])),
+            _fragment_blend(
+                text, verse["text_clean_alt"], ratio(text, verse["text_clean_alt"])
+            ),
+        )
+
+    # -------------------------------------------------------------- search
+
+    def search(self, text: str, top_k: int = 5) -> list[dict]:
+        """Full-corpus fragment-score scan, top-k verses."""
+        text = normalize_arabic(text)
+        scores = self._batch_fragment_scores(text)
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        return [
+            {**self.verses[i], "score": float(scores[i]), "text": self.verses[i]["text_uthmani"]}
+            for i in order
+        ]
+
+    def spaceless_scan(self, text: str, top_k: int = 100) -> list[dict]:
+        """max(spaced ratio, spaceless ratio) full scan — catches BPE splits
+        that drop inter-word spaces (reference: c2c-direct/run.py:284-297)."""
+        spaceless = text.replace(" ", "")
+        s1 = self._corpus_clean.batch_ratio(text)
+        s2 = self._corpus_spaceless.batch_ratio(spaceless)
+        scores = np.maximum(s1, s2)
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        return [
+            {**self.verses[i], "score": float(scores[i])} for i in order
+        ]
+
+    # ---------------------------------------------------------- match_verse
+
+    def match_verse(
+        self,
+        text: str,
+        threshold: float = 0.3,
+        max_span: int = 3,
+        hint: tuple[int, int] | None = None,
+        return_top_k: int = 0,
+        use_trigram_index: bool = False,
+    ) -> dict | None:
+        """Best-matching verse or consecutive-verse span.
+
+        Two passes: single-verse scoring (optionally trigram-restricted with
+        a full-scan fallback below 20 hits), then 2..max_span span windows
+        inside the top-20 candidate surahs. Continuation *hint* adds bonuses
+        and enables suffix-prefix rescue scoring.
+        """
+        text = normalize_arabic(text)
+        if not text.strip():
+            return None
+
+        bonuses = self._continuation_bonuses(hint)
+
+        if use_trigram_index:
+            candidate_idxs = set(self.trigram_candidates(text, top_k=50))
+            for ref in bonuses:
+                idx = self._ref_to_idx.get(ref)
+                if idx is not None:
+                    candidate_idxs.add(idx)
+            if len(candidate_idxs) < 20:
+                candidate_idxs = None  # full scan fallback
+        else:
+            candidate_idxs = None
+
+        if candidate_idxs is None:
+            raw_scores = self._batch_fragment_scores(text)
+            idx_list = range(len(self.verses))
+        else:
+            idx_list = sorted(candidate_idxs)
+            raw_scores = {}
+            for i in idx_list:
+                raw_scores[i] = self.best_fragment_score(text, self.verses[i])
+
+        scored: list[tuple[dict, float, float, float]] = []
+        for i in idx_list:
+            v = self.verses[i]
+            raw = float(raw_scores[i])
+            if v["text_clean_no_bsm"]:
+                stripped = _fragment_blend(
+                    text, v["text_clean_no_bsm"], ratio(text, v["text_clean_no_bsm"])
+                )
+                raw = max(raw, stripped)
+            bonus = bonuses.get((v["surah"], v["ayah"]), 0.0)
+            if bonus > 0:
+                sp = max(
+                    _suffix_prefix_score(text, v["text_clean"]),
+                    _suffix_prefix_score(text, v["text_clean_alt"]),
+                )
+                raw = max(raw, sp)
+            scored.append((v, raw, bonus, min(raw + bonus, 1.0)))
+        scored.sort(key=lambda x: x[3], reverse=True)
+
+        best_v, best_raw, best_bonus, best_score = scored[0]
+        best: dict = {
+            **best_v,
+            "score": best_score,
+            "raw_score": best_raw,
+            "bonus": best_bonus,
+        }
+
+        top_singles = [
+            {
+                "surah": v["surah"],
+                "ayah": v["ayah"],
+                "raw_score": round(raw, 3),
+                "bonus": round(bon, 3),
+                "score": round(total, 3),
+                "text_clean": v["text_clean"][:60],
+            }
+            for v, raw, bon, total in scored[: max(return_top_k, 5)]
+        ]
+
+        # Pass 2: spans inside the top-20 candidate surahs (batched per surah).
+        seen_surahs: set[int] = set()
+        for v, _raw, _bon, _total in scored[:20]:
+            s = v["surah"]
+            if s in seen_surahs:
+                continue
+            seen_surahs.add(s)
+            for span in range(2, max_span + 1):
+                corpus, starts = self._span_corpus(s, span)
+                if not len(corpus):
+                    continue
+                ratios = corpus.batch_ratio(text)
+                for k, raw in enumerate(ratios):
+                    start_ayah = starts[k]
+                    bonus = bonuses.get((s, start_ayah), 0.0)
+                    score = min(float(raw) + bonus, 1.0)
+                    if score > best_score:
+                        end_ayah = start_ayah + span - 1
+                        chunk = [
+                            self._by_ref[(s, a)] for a in range(start_ayah, end_ayah + 1)
+                        ]
+                        best_score = score
+                        best = {
+                            "surah": s,
+                            "ayah": start_ayah,
+                            "ayah_end": end_ayah,
+                            "text": " ".join(c["text_uthmani"] for c in chunk),
+                            "text_clean": corpus.texts[k],
+                            "score": score,
+                            "raw_score": float(raw),
+                            "bonus": bonus,
+                        }
+
+        if best_score >= threshold:
+            if return_top_k > 0:
+                best["runners_up"] = top_singles[:return_top_k]
+            return best
+        return None
