@@ -1,0 +1,312 @@
+"""FastConformer-CTC encoder (Flax), the flagship acoustic model.
+
+Architecture parity with the reference's champion model family —
+nvidia/stt_ar_fastconformer_hybrid_large_pcd_v1.0's CTC branch (reference:
+experiments/c2c-direct/run.py:50,171-184 drives preprocessor → encoder →
+ctc_decoder) — re-expressed as idiomatic Flax/XLA:
+
+  * in-graph log-mel frontend (tilawa_tpu.ops.frontend) fused under jit
+  * 8x depthwise-striding conv subsampling (256 channels, 3 stages)
+  * N conformer blocks: ½FF → rel-pos MHSA (Transformer-XL style with
+    u/v biases) → conv module (pointwise+GLU, depthwise k=9, masked BN,
+    SiLU) → ½FF → LayerNorm
+  * CTC head: Dense(d_model → vocab+1) + log_softmax, blank = vocab_size
+
+All sequence ops are length-masked so bucketed/padded batching is exact.
+Compute dtype is configurable (bfloat16 on TPU; log_softmax always f32).
+
+FastConformerConfig.large() ≈ the reference's 115 MB model scale
+(17 layers, d_model 512, 8 heads, ff ×4, kernel 9 — NeMo FastConformer-L).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tilawa_tpu.ops.frontend import log_mel_spectrogram
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class FastConformerConfig:
+    vocab_size: int = 1024            # labels; blank id == vocab_size
+    n_mels: int = 80
+    d_model: int = 512
+    num_layers: int = 17
+    num_heads: int = 8
+    ff_expansion: int = 4
+    conv_kernel: int = 9
+    subsampling_channels: int = 256
+    subsampling_factor: int = 8
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @property
+    def blank_id(self) -> int:
+        return self.vocab_size
+
+    @property
+    def num_classes(self) -> int:
+        return self.vocab_size + 1
+
+    @classmethod
+    def large(cls, **kw) -> "FastConformerConfig":
+        return cls(**kw)
+
+    @classmethod
+    def small(cls, **kw) -> "FastConformerConfig":
+        """Test-scale config: same topology, tiny dims."""
+        base = dict(
+            d_model=64, num_layers=2, num_heads=4, ff_expansion=2,
+            subsampling_channels=32,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+def subsampled_length(length, factor: int = 8):
+    """Frame count after the striding conv stack (k=3, s=2, p=1 per stage)."""
+    out = length
+    stages = int(np.log2(factor))
+    for _ in range(stages):
+        out = (out - 1) // 2 + 1
+    return out
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over (batch, time) that ignores padded frames."""
+
+    use_running_average: bool
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, C], mask: [B, T, 1] bool
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            cnt = jnp.maximum(mask.sum(), 1).astype(jnp.float32)
+            xf = x.astype(jnp.float32)
+            mean = jnp.where(mask, xf, 0.0).sum(axis=(0, 1)) / cnt
+            var = (jnp.where(mask, xf - mean, 0.0) ** 2).sum(axis=(0, 1)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def _stride2_len(length):
+    return (length - 1) // 2 + 1
+
+
+class ConvSubsampling(nn.Module):
+    """Depthwise-striding 8x subsampling (NeMo dw_striding equivalent).
+
+    Time frames beyond each sample's true length are re-zeroed after every
+    strided stage so stride-2 taps never read bias-polluted padding —
+    padded-batch outputs are bit-identical to unpadded ones.
+    """
+
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+        # x: [B, T, n_mels], lengths: [B] valid frame counts -> [B, T/8, d_model]
+        cfg = self.cfg
+        ch = cfg.subsampling_channels
+
+        def time_mask(h, lens):
+            return jnp.where(
+                (jnp.arange(h.shape[1])[None, :] < lens[:, None])[:, :, None, None],
+                h, 0.0,
+            )
+
+        h = x[..., None].astype(cfg.dtype)  # [B, T, M, 1]
+        h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                    dtype=cfg.dtype, name="conv_in")(h)
+        h = nn.relu(h)
+        lens = _stride2_len(lengths)
+        h = time_mask(h, lens)
+        stages = int(np.log2(cfg.subsampling_factor)) - 1
+        for i in range(stages):
+            h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                        feature_group_count=ch, dtype=cfg.dtype,
+                        name=f"dw_conv_{i}")(h)
+            h = nn.Conv(ch, (1, 1), dtype=cfg.dtype, name=f"pw_conv_{i}")(h)
+            h = nn.relu(h)
+            lens = _stride2_len(lens)
+            h = time_mask(h, lens)
+        b, t, f, _ = h.shape
+        h = h.reshape(b, t, f * ch)
+        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="proj")(h)
+
+
+class FeedForward(nn.Module):
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(dtype=cfg.dtype)(x)
+        h = nn.Dense(cfg.d_model * cfg.ff_expansion, dtype=cfg.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(cfg.d_model, dtype=cfg.dtype)(h)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+
+
+def rel_positional_encoding(t: int, d_model: int) -> np.ndarray:
+    """Sinusoidal embeddings for relative positions T-1 .. -(T-1),
+    indexed so row k encodes relative position (T-1) - k."""
+    positions = np.arange(t - 1, -t, -1, dtype=np.float64)  # [2T-1]
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, d_model, 2) / d_model))
+    ang = positions[:, None] * inv_freq[None, :]
+    emb = np.zeros((2 * t - 1, d_model), dtype=np.float32)
+    emb[:, 0::2] = np.sin(ang)
+    emb[:, 1::2] = np.cos(ang)
+    return emb
+
+
+class RelPosSelfAttention(nn.Module):
+    """Transformer-XL relative-position MHSA with u/v biases."""
+
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, t, d = x.shape
+        h, dh = cfg.num_heads, d // cfg.num_heads
+
+        q = nn.Dense(d, dtype=cfg.dtype, name="q")(x).reshape(b, t, h, dh)
+        k = nn.Dense(d, dtype=cfg.dtype, name="k")(x).reshape(b, t, h, dh)
+        v = nn.Dense(d, dtype=cfg.dtype, name="v")(x).reshape(b, t, h, dh)
+
+        pos = jnp.asarray(rel_positional_encoding(t, d), dtype=cfg.dtype)
+        p = nn.Dense(d, use_bias=False, dtype=cfg.dtype, name="pos")(pos)
+        p = p.reshape(2 * t - 1, h, dh)
+
+        bias_u = self.param("bias_u", nn.initializers.zeros, (h, dh), jnp.float32)
+        bias_v = self.param("bias_v", nn.initializers.zeros, (h, dh), jnp.float32)
+
+        qu = q + bias_u.astype(cfg.dtype)
+        qv = q + bias_v.astype(cfg.dtype)
+
+        content = jnp.einsum("bihd,bjhd->bhij", qu, k)
+        # qp[b,h,i,k] over 2T-1 relative rows; row index k encodes rel
+        # position (T-1)-k, and (i,j) needs rel position i-j → k = T-1-i+j.
+        qp = jnp.einsum("bihd,khd->bhik", qv, p)
+        rel_idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None, :]  # [T,T]
+        pos_score = jnp.take_along_axis(
+            qp,
+            jnp.broadcast_to(rel_idx[None, None, :, :], qp.shape[:2] + rel_idx.shape),
+            axis=-1,
+        )
+        scores = (content + pos_score) / np.sqrt(dh)
+
+        key_mask = mask[:, None, None, :, 0]  # [B,1,1,T]
+        scores = jnp.where(key_mask, scores, -1e30)
+        attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
+        attn = nn.Dropout(cfg.dropout, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, d)
+        return nn.Dense(d, dtype=cfg.dtype, name="out")(out)
+
+
+class ConvModule(nn.Module):
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool,
+        use_running_average: bool,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        d = cfg.d_model
+        h = nn.LayerNorm(dtype=cfg.dtype)(x)
+        h = nn.Dense(2 * d, dtype=cfg.dtype, name="pw1")(h)
+        h = nn.glu(h, axis=-1)
+        h = jnp.where(mask, h, 0.0)  # keep padded frames out of the conv taps
+        pad = (cfg.conv_kernel - 1) // 2
+        h = nn.Conv(
+            d, (cfg.conv_kernel,), padding=((pad, pad),), feature_group_count=d,
+            dtype=cfg.dtype, name="dw",
+        )(h)
+        h = MaskedBatchNorm(
+            use_running_average=use_running_average, dtype=cfg.dtype, name="bn"
+        )(h, mask)
+        h = nn.silu(h)
+        h = nn.Dense(d, dtype=cfg.dtype, name="pw2")(h)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+
+
+class ConformerBlock(nn.Module):
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool,
+        use_running_average: bool,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        x = x + 0.5 * FeedForward(cfg, name="ff1")(x, deterministic)
+        x = x + RelPosSelfAttention(cfg, name="attn")(
+            nn.LayerNorm(dtype=cfg.dtype, name="attn_ln")(x), mask, deterministic
+        )
+        x = x + ConvModule(cfg, name="conv")(
+            x, mask, deterministic, use_running_average
+        )
+        x = x + 0.5 * FeedForward(cfg, name="ff2")(x, deterministic)
+        return nn.LayerNorm(dtype=cfg.dtype, name="final_ln")(x)
+
+
+class FastConformerCTC(nn.Module):
+    """Raw audio → CTC log-probs, end to end under one jit."""
+
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        audio: jnp.ndarray,      # [B, N] float32 waveform
+        lengths: jnp.ndarray,    # [B] int32 sample counts
+        deterministic: bool = True,
+        use_running_average: bool = True,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        feats, feat_lengths = log_mel_spectrogram(audio, lengths)
+        x = ConvSubsampling(cfg, name="subsampling")(feats, feat_lengths)
+        enc_lengths = subsampled_length(feat_lengths, cfg.subsampling_factor)
+        t = x.shape[1]
+        mask = (jnp.arange(t)[None, :] < enc_lengths[:, None])[..., None]
+
+        x = jnp.where(mask, x, 0.0)
+        for i in range(cfg.num_layers):
+            x = ConformerBlock(cfg, name=f"block_{i}")(
+                x, mask, deterministic, use_running_average
+            )
+
+        logits = nn.Dense(cfg.num_classes, dtype=cfg.dtype, name="ctc_head")(x)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return log_probs, enc_lengths.astype(jnp.int32)
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,188 @@
+"""CTC primitives: greedy decode + batched forward-algorithm scoring.
+
+This is the TPU-native replacement for both of the reference's CTC scoring
+paths:
+  * torch F.ctc_loss batched rerank (reference: experiments/c2c-direct/
+    run.py:314-380 — batches of 16, log_probs.expand, zero_infinity)
+  * the TS log-space alpha recursion (reference: web/frontend/src/lib/
+    ctc-rescore.ts:35-102 — two-row Float64 DP per candidate)
+
+Design: ONE lax.scan over time steps carries the alpha lattice for ALL
+candidates simultaneously — state [C, S] with S = 2·L_max+1 — so the whole
+rerank is a single XLA program: no Python loop over candidates, no batch
+chunking. Variable lengths are handled with masks (candidate token length L_c,
+log-prob valid length T_valid), and infeasible candidates (2L+1 > T) come
+back as +inf, matching torch's zero_infinity semantics at the caller.
+
+Scores are length-normalized NLL: score[c] = -log p(tokens_c | logprobs) / L_c,
+identical to both reference formulations.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+
+
+def build_ctc_states(tokens: jnp.ndarray, blank_id: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleave blanks: tokens [C, L] -> (states [C, 2L+1], skip_allowed [C, 2L+1]).
+
+    states[c, 2k] = blank, states[c, 2k+1] = tokens[c, k].
+    skip_allowed[c, s] marks the s-2 -> s transition (non-blank state whose
+    label differs from the label two states back).
+    """
+    c, l = tokens.shape
+    s = 2 * l + 1
+    states = jnp.full((c, s), blank_id, dtype=tokens.dtype)
+    states = states.at[:, 1::2].set(tokens)
+    prev_tok = jnp.concatenate(
+        [jnp.full((c, 1), -1, dtype=tokens.dtype), tokens[:, :-1]], axis=1
+    )
+    skip = jnp.zeros((c, s), dtype=bool)
+    skip = skip.at[:, 1::2].set(tokens != prev_tok)
+    skip = skip.at[:, 1].set(False)  # s=1 has no s-2 predecessor
+    return states, skip
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id",))
+def ctc_forward_scores(
+    log_probs: jnp.ndarray,   # [T, V] float32
+    t_valid: jnp.ndarray,     # scalar int32 — true frame count (<= T)
+    tokens: jnp.ndarray,      # [C, L] int32, zero-padded
+    lengths: jnp.ndarray,     # [C] int32 — true token counts
+    blank_id: int,
+) -> jnp.ndarray:
+    """Length-normalized CTC NLL of every candidate against one log-prob
+    matrix. Returns [C] float32; +inf marks infeasible (2L+1 > t_valid or
+    L == 0)."""
+    t_total, _v = log_probs.shape
+    c, l = tokens.shape
+    s = 2 * l + 1
+
+    states, skip = build_ctc_states(tokens, blank_id)
+
+    s_idx = jnp.arange(s)[None, :]                     # [1, S]
+    n_states = 2 * lengths[:, None] + 1                # [C, 1]
+    valid_state = s_idx < n_states                     # [C, S]
+
+    # alpha_0: only states 0 and 1 are reachable.
+    lp0 = log_probs[0]
+    alpha0 = jnp.where(
+        (s_idx < jnp.minimum(n_states, 2)) & valid_state,
+        lp0[states],
+        NEG_INF,
+    )
+
+    def step(alpha, lp_t_and_t):
+        lp_t, t = lp_t_and_t
+        a1 = jnp.concatenate(
+            [jnp.full((c, 1), NEG_INF, alpha.dtype), alpha[:, :-1]], axis=1
+        )
+        a2 = jnp.concatenate(
+            [jnp.full((c, 2), NEG_INF, alpha.dtype), alpha[:, :-2]], axis=1
+        )
+        a2 = jnp.where(skip, a2, NEG_INF)
+        stacked = jnp.stack([alpha, a1, a2], axis=0)
+        total = jax.nn.logsumexp(stacked, axis=0)
+        new_alpha = jnp.where(valid_state, total + lp_t[states], NEG_INF)
+        # Past the true frame count the step is the identity.
+        new_alpha = jnp.where(t < t_valid, new_alpha, alpha)
+        return new_alpha, None
+
+    ts = jnp.arange(1, t_total)
+    alpha, _ = jax.lax.scan(step, alpha0, (log_probs[1:], ts))
+
+    last = 2 * lengths          # index of final blank state
+    second = 2 * lengths - 1    # index of final label state
+    gather = jax.vmap(lambda row, i, j: jnp.logaddexp(row[i], jnp.where(j >= 0, row[j], NEG_INF)))
+    final = gather(alpha, last, second)
+
+    feasible = (2 * lengths + 1 <= t_valid) & (lengths > 0)
+    norm = -final / jnp.maximum(lengths.astype(log_probs.dtype), 1.0)
+    return jnp.where(feasible, norm, jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("blank_id",))
+def ctc_forward_scores_batch(
+    log_probs: jnp.ndarray,   # [B, T, V]
+    t_valid: jnp.ndarray,     # [B]
+    tokens: jnp.ndarray,      # [C, L]
+    lengths: jnp.ndarray,     # [C]
+    blank_id: int,
+) -> jnp.ndarray:
+    """vmap over B independent log-prob matrices → [B, C] scores.
+    Used by batched TTA (3 speed variants against the same candidates) and
+    whole-corpus eval."""
+    return jax.vmap(
+        lambda lp, tv: ctc_forward_scores(lp, tv, tokens, lengths, blank_id)
+    )(log_probs, t_valid)
+
+
+def greedy_ids(log_probs: np.ndarray) -> np.ndarray:
+    """Per-frame argmax token ids (host side; the argmax itself typically
+    arrives from the device already reduced)."""
+    return np.asarray(log_probs).argmax(axis=-1)
+
+
+def collapse_ctc(ids, blank_id: int) -> list[int]:
+    """CTC collapse: drop repeats then blanks (reference semantics:
+    c2c-direct/run.py:187-204, worker/text-ctc-decode.ts:26-57)."""
+    ids = np.asarray(ids)
+    if ids.size == 0:
+        return []
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    deduped = ids[keep]
+    return deduped[deduped != blank_id].tolist()
+
+
+# Padding helpers ------------------------------------------------------------
+
+def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1] if n <= buckets[-1] else int(np.ceil(n / buckets[-1])) * buckets[-1]
+
+
+TOKEN_BUCKETS = (32, 64, 128, 256, 512)
+CAND_BUCKETS = (64, 128, 256, 512, 1024)
+FRAME_BUCKETS = (256, 512, 1024, 2048, 4096)
+
+
+def pad_candidates(
+    token_lists: list[list[int]],
+    token_buckets: tuple[int, ...] = TOKEN_BUCKETS,
+    cand_buckets: tuple[int, ...] = CAND_BUCKETS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a ragged candidate token list to bucketed [C_pad, L_pad] int32 +
+    lengths [C_pad]. Bucketing caps the number of distinct XLA program
+    shapes (compile-once, reuse-everywhere)."""
+    c = len(token_lists)
+    lmax = max((len(t) for t in token_lists), default=1)
+    l_pad = _next_bucket(max(lmax, 1), token_buckets)
+    c_pad = _next_bucket(max(c, 1), cand_buckets)
+    tokens = np.zeros((c_pad, l_pad), dtype=np.int32)
+    lengths = np.zeros(c_pad, dtype=np.int32)
+    for i, ids in enumerate(token_lists):
+        tokens[i, : len(ids)] = ids
+        lengths[i] = len(ids)
+    return tokens, lengths
+
+
+def pad_frames(
+    log_probs: np.ndarray, frame_buckets: tuple[int, ...] = FRAME_BUCKETS
+) -> tuple[np.ndarray, int]:
+    """Pad [T, V] log-probs to a bucketed frame count; returns (padded, T)."""
+    t, v = log_probs.shape
+    t_pad = _next_bucket(t, frame_buckets)
+    if t_pad == t:
+        return log_probs, t
+    out = np.full((t_pad, v), 0.0, dtype=log_probs.dtype)
+    out[:t] = log_probs
+    return out, t
