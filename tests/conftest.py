@@ -7,7 +7,10 @@ bench.py and explicit on-device scripts, never by unit tests.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness environment pins JAX_PLATFORMS=axon (remote TPU tunnel) via
+# sitecustomize, which silently wins over env vars set here — the only
+# reliable override is jax.config.update after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,187 @@
+"""The champion batch pipeline: audio → (surah, ayah[, ayah_end]).
+
+Recognizer = the reference's c2c-direct algorithm family (reference:
+experiments/c2c-direct/run.py predict():394-445, c2c-direct-mixed,
+c2c-direct-mixed-tta) on the TPU runtime:
+
+  log-probs (jitted encoder or oracle) → greedy CTC decode + detokenize +
+  normalize → three-strategy candidate build → 0.80 text-confidence gate →
+  batched on-device CTC rerank (span penalty 0.5) → best.
+
+TTA (reference: c2c-direct-mixed-tta/run.py): anchor 1.0x pass; if score
+< 0.5, the 0.9x/1.1x perturbed passes run as ONE batched 2-way encoder
+dispatch (replacing the reference's 2-thread ONNX pool), then majority vote
+with score-pick fallback.
+
+Stage timings are collected when TILAWA_PROFILE=1 (reference's
+C2C_DIRECT_MIXED_PROFILE convention).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+from tilawa_tpu.data.audio import load_audio, speed_perturb
+from tilawa_tpu.data.normalizer import normalize_arabic
+from tilawa_tpu.data.quran import QuranDB
+from tilawa_tpu.data.token_store import TokenStore
+from tilawa_tpu.ops.ctc import collapse_ctc
+from tilawa_tpu.pipeline.candidates import build_candidates
+from tilawa_tpu.pipeline.rerank import ctc_rerank
+
+FALLBACK_THRESHOLD = float(os.getenv("TILAWA_THRESHOLD", "0.80"))
+TTA_SKIP_THRESHOLD = float(os.getenv("TILAWA_TTA_SKIP", "0.5"))
+TTA_FACTORS = (0.9, 1.1)
+PROFILE = os.getenv("TILAWA_PROFILE", "") not in ("", "0", "false")
+
+
+def _empty(transcript: str = "") -> dict:
+    return {
+        "surah": 0,
+        "ayah": 0,
+        "ayah_end": None,
+        "score": 0.0,
+        "transcript": transcript,
+        "candidates": [],
+    }
+
+
+class Recognizer:
+    """predict()/transcribe() over any acoustic runtime exposing
+    log_probs(audio) -> ([T,V], t_valid) and log_probs_batch(list)."""
+
+    def __init__(
+        self,
+        runtime,
+        db: QuranDB | None = None,
+        token_store: TokenStore | None = None,
+        tokenizer=None,
+        tta: bool = False,
+    ):
+        self.runtime = runtime
+        self.db = db or QuranDB()
+        self.token_store = token_store or TokenStore.load_default()
+        self.tokenizer = tokenizer or self.token_store.tokenizer
+        self.tta = tta
+        self.last_profile: dict[str, float] = {}
+
+    # ------------------------------------------------------------ decoding
+
+    def greedy_decode(self, log_probs: np.ndarray, t_valid: int) -> str:
+        ids = np.asarray(log_probs[:t_valid]).argmax(axis=-1)
+        deduped = collapse_ctc(ids, self.runtime.blank_id)
+        if not deduped:
+            return ""
+        return normalize_arabic(self.tokenizer.decode(deduped).strip())
+
+    # ------------------------------------------------------------- predict
+
+    def _predict_from_logprobs(self, log_probs: np.ndarray, t_valid: int) -> dict:
+        t0 = time.perf_counter()
+        transcript = self.greedy_decode(log_probs, t_valid)
+        t1 = time.perf_counter()
+        if not transcript.strip():
+            return _empty("")
+
+        candidates, base = build_candidates(self.db, transcript)
+        t2 = time.perf_counter()
+        if not candidates and not base:
+            return _empty(transcript)
+
+        use_ctc = base is None or float(base.get("score", 0.0)) < FALLBACK_THRESHOLD
+        ranked = (
+            ctc_rerank(log_probs, t_valid, candidates, self.token_store,
+                       blank_id=self.runtime.blank_id)
+            if use_ctc
+            else []
+        )
+        t3 = time.perf_counter()
+        if PROFILE:
+            self.last_profile.update(
+                decode=t1 - t0, build=t2 - t1, rerank=t3 - t2
+            )
+
+        if use_ctc and ranked:
+            best = ranked[0]
+            source = "ctc"
+            score = (
+                math.exp(-best["ctc_norm_loss"])
+                if math.isfinite(best["ctc_norm_loss"])
+                else 0.0
+            )
+        elif base:
+            best, source, score = base, "text", float(base.get("score", 0.0))
+        else:
+            return _empty(transcript)
+
+        out_candidates = [
+            {
+                "surah": c["surah"],
+                "ayah": c["ayah"],
+                "ayah_end": c.get("ayah_end") or c["ayah"],
+                "score": round(float(c.get("final_score", c.get("score", 0.0))), 4),
+            }
+            for c in (ranked[:5] if ranked else [best])
+        ]
+        return {
+            "surah": best["surah"],
+            "ayah": best["ayah"],
+            "ayah_end": best.get("ayah_end") or best["ayah"],
+            "score": round(score, 4),
+            "transcript": transcript,
+            "source": source,
+            "candidates": out_candidates,
+        }
+
+    def predict_audio(self, audio: np.ndarray) -> dict:
+        t0 = time.perf_counter()
+        lp, t_valid = self.runtime.log_probs(audio)
+        t1 = time.perf_counter()
+        if PROFILE:
+            self.last_profile = {"forward": t1 - t0}
+        result = self._predict_from_logprobs(lp, t_valid)
+        if not self.tta or result["score"] >= TTA_SKIP_THRESHOLD:
+            return result
+
+        # Hard sample: batched 2-way perturbed pass (one dispatch).
+        perturbed = [speed_perturb(audio, f) for f in TTA_FACTORS]
+        lps, t_valids = self.runtime.log_probs_batch(perturbed)
+        preds = [
+            self._predict_from_logprobs(lps[i], int(t_valids[i]))
+            for i in range(len(perturbed))
+        ]
+        all_preds = [preds[0], result, preds[1]]  # 0.9x, 1.0x, 1.1x
+        keys = [(p["surah"], p["ayah"]) for p in all_preds]
+
+        counts: dict[tuple[int, int], int] = {}
+        for k in keys:
+            counts[k] = counts.get(k, 0) + 1
+        top = max(counts, key=counts.get)
+        if counts[top] >= 2:
+            for p in all_preds:
+                if (p["surah"], p["ayah"]) == top:
+                    p["tta"] = "majority"
+                    p["tta_preds"] = keys
+                    return p
+        best = max(all_preds, key=lambda p: p["score"])
+        best["tta"] = "score_pick"
+        best["tta_preds"] = keys
+        best["tta_scores"] = [p["score"] for p in all_preds]
+        return best
+
+    def predict(self, audio_path: str | Path) -> dict:
+        return self.predict_audio(load_audio(audio_path))
+
+    # ---------------------------------------------------------- transcribe
+
+    def transcribe_audio(self, audio: np.ndarray) -> str:
+        lp, t_valid = self.runtime.log_probs(audio)
+        return self.greedy_decode(lp, t_valid)
+
+    def transcribe(self, audio_path: str | Path) -> str:
+        return self.transcribe_audio(load_audio(audio_path))
