@@ -151,6 +151,10 @@ def test_collapse_ctc():
 
 
 def test_pad_candidates_bucketing():
+    from tilawa_tpu.ops.ctc import CAND_BUCKETS, TOKEN_BUCKETS, _next_bucket
+
     tokens, lengths = pad_candidates([[1] * 40, [2] * 10])
-    assert tokens.shape == (64, 64)
+    assert tokens.shape == (
+        _next_bucket(2, CAND_BUCKETS), _next_bucket(40, TOKEN_BUCKETS)
+    )
     assert lengths[0] == 40 and lengths[1] == 10 and lengths[2:].sum() == 0

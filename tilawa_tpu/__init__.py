@@ -19,3 +19,15 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: first compile of each bucketed program
+# shape is expensive (remote compile on the tunneled TPU); cache survives
+# across processes. Harmless if jax was imported first — the cache config
+# is read lazily at first compilation.
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")

@@ -241,25 +241,43 @@ class QuranDB:
 
     def _batch_fragment_scores(self, text: str) -> np.ndarray:
         """max over {text_clean, text_clean_alt} of the fragment-blended
-        ratio, for every verse, via batched native scans."""
+        ratio, for every verse, via batched native scans.
+
+        partial_ratio is computed only where it can change the result: the
+        blend max(full, 0.25*full + 0.75*frag*penalty) with frag <= 1 can
+        only beat `full` when penalty > full — an exact bound that prunes
+        the expensive windowed scan to a handful of verses."""
         r_clean = self._corpus_clean.batch_ratio(text)
         r_alt = self._corpus_alt.batch_ratio(text)
         nq = len(text.split())
+        p_clean = p_alt = None
         if nq >= 4:
-            p_clean = self._corpus_clean.batch_partial_ratio(text)
-            p_alt = self._corpus_alt.batch_partial_ratio(text)
-        else:
-            p_clean = p_alt = None
+            penalty = np.minimum(1.0, self._word_counts / max(nq, 1))
+            penalty_alt = np.minimum(1.0, self._word_counts_alt / max(nq, 1))
+            need_c = np.nonzero((penalty > r_clean) & (self._word_counts >= 2))[0]
+            need_a = np.nonzero((penalty_alt > r_alt) & (self._word_counts_alt >= 2))[0]
+            p_clean = dict(
+                zip(
+                    need_c.tolist(),
+                    self._corpus_clean.subset_partial_ratio(text, need_c).tolist(),
+                )
+            )
+            p_alt = dict(
+                zip(
+                    need_a.tolist(),
+                    self._corpus_alt.subset_partial_ratio(text, need_a).tolist(),
+                )
+            )
         out = np.empty(len(self.verses), dtype=np.float64)
         padded = f" {text} "
         for i, v in enumerate(self.verses):
             fc = self._blend_one(
                 text, nq, v["text_clean"], int(self._word_counts[i]),
-                r_clean[i], None if p_clean is None else p_clean[i], padded,
+                r_clean[i], None if p_clean is None else p_clean.get(i), padded,
             )
             fa = self._blend_one(
                 text, nq, v["text_clean_alt"], int(self._word_counts_alt[i]),
-                r_alt[i], None if p_alt is None else p_alt[i], padded,
+                r_alt[i], None if p_alt is None else p_alt.get(i), padded,
             )
             out[i] = fc if fc >= fa else fa
         return out

@@ -1,0 +1,161 @@
+"""Experiment registry (reference: benchmark/runner.py:29-86 registry +
+LAB_AUTO_DISCOVER). Experiments are lazy factories returning pipeline
+objects with predict()/transcribe().
+
+Registered families:
+  c2c-direct-mixed      — champion pipeline on the FastConformer TPU runtime
+  c2c-direct-mixed-tta  — + confidence-gated batched 0.9x/1.1x TTA
+  oracle / oracle-hard  — champion decision stack driven by synthetic
+                          log-probs rendered from ground truth (validates
+                          decode → retrieve → rerank end to end while the
+                          reference's trained weights remain unavailable;
+                          SURVEY.md §2.2 asset note)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+_REGISTRY: dict[str, callable] = {}
+_CACHE: dict[str, object] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def list_experiments() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def get_experiment(name: str):
+    if name not in _CACHE:
+        if name not in _REGISTRY:
+            raise KeyError(f"unknown experiment {name!r}; have {list_experiments()}")
+        _CACHE[name] = _REGISTRY[name]()
+    return _CACHE[name]
+
+
+def _load_runtime():
+    """FastConformer runtime with trained weights when a checkpoint exists,
+    random init otherwise (latency/throughput numbers are weight-agnostic)."""
+    import jax
+
+    from tilawa_tpu.models.fastconformer import FastConformerConfig
+    from tilawa_tpu.pipeline.runtime import EncoderRuntime
+    from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+
+    ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
+    if ckpt:
+        config, variables = load_variables(ckpt)
+        return EncoderRuntime(config, variables)
+    return EncoderRuntime(FastConformerConfig.large())
+
+
+def _make_recognizer(tta: bool):
+    from tilawa_tpu.pipeline.predict import Recognizer
+
+    return Recognizer(_load_runtime(), tta=tta)
+
+
+@register("c2c-direct-mixed")
+def _c2c_direct_mixed():
+    return _make_recognizer(tta=False)
+
+
+@register("c2c-direct-mixed-tta")
+def _c2c_direct_mixed_tta():
+    return _make_recognizer(tta=True)
+
+
+class OracleExperiment:
+    """Champion decision stack over synthetic acoustics.
+
+    predict(path) resolves the sample's ground-truth refs from the corpus
+    manifest, renders CTC log-probs with the configured corruption level,
+    and runs the full text+rerank pipeline. Audio files are never decoded;
+    only their manifest entries matter.
+    """
+
+    def __init__(self, error_rate: float = 0.0, noise: float = 0.3, seed: int = 0):
+        from tilawa_tpu.data.quran import QuranDB
+        from tilawa_tpu.data.token_store import TokenStore
+        from tilawa_tpu.data.assets import BLANK_ID
+        from tilawa_tpu.pipeline.predict import Recognizer
+        from tilawa_tpu.pipeline.runtime import OracleRuntime
+
+        self.db = QuranDB()
+        self.token_store = TokenStore.load_default()
+
+        def lookup(surah, ayah, ayah_end):
+            ids = self.token_store.ids_for_key(surah, ayah, ayah_end)
+            if ids is None:
+                text = self.db.span_text(surah, ayah, ayah_end or ayah)
+                ids = self.token_store.ids_for_text(text) if text else []
+            return ids
+
+        class _RT(OracleRuntime):
+            def log_probs(self, audio):  # pragma: no cover - oracle never decodes
+                raise NotImplementedError
+
+        self.runtime = _RT(
+            lookup, blank_id=BLANK_ID, noise=noise, error_rate=error_rate, seed=seed
+        )
+        self.recognizer = Recognizer(
+            self.runtime, db=self.db, token_store=self.token_store
+        )
+        self._refs_by_file: dict[str, list[tuple[int, int, int | None]]] = {}
+
+    def _manifest_refs(self, path: str) -> list[tuple[int, int, int | None]]:
+        fname = Path(path).name
+        if not self._refs_by_file:
+            for key in ("v1", "v2", "v3"):
+                from tilawa_tpu.eval.runner import CORPUS_DIRS
+
+                mpath = CORPUS_DIRS[key] / "manifest.json"
+                if not mpath.exists():
+                    continue
+                with open(mpath, encoding="utf-8") as f:
+                    data = json.load(f)
+                for s in data["samples"] if isinstance(data, dict) else data:
+                    refs = [
+                        (e["surah"], e["ayah"], None)
+                        for e in s.get(
+                            "expected_verses",
+                            [{"surah": s["surah"], "ayah": s["ayah"]}],
+                        )
+                    ]
+                    self._refs_by_file.setdefault(s["file"], refs)
+        if fname not in self._refs_by_file:
+            raise KeyError(f"no manifest entry for {fname}")
+        return self._refs_by_file[fname]
+
+    def predict(self, path: str) -> dict:
+        refs = self._manifest_refs(path)
+        lp, t = self.runtime.render(refs)
+        return self.recognizer._predict_from_logprobs(lp, t)
+
+    def transcribe(self, path: str) -> str:
+        refs = self._manifest_refs(path)
+        lp, t = self.runtime.render(refs)
+        return self.recognizer.greedy_decode(lp, t)
+
+    def model_size(self) -> int:
+        return 0
+
+
+@register("oracle")
+def _oracle():
+    return OracleExperiment(error_rate=0.0, noise=0.3)
+
+
+@register("oracle-hard")
+def _oracle_hard():
+    return OracleExperiment(error_rate=0.10, noise=1.0)

@@ -1,0 +1,292 @@
+"""Benchmark runner — the framework's experiment evaluation harness.
+
+Behavioral parity with the reference runner (reference: benchmark/runner.py):
+experiment registry + auto-discovery, warmup pass excluded from latency,
+ordered-subsequence scoring, predict()-vs-transcribe() dispatch with span
+expansion, per-category filtering, timestamped results + best-per-scope
+latest.json merge keyed (name, mode, category, total, chunk_seconds).
+
+Differences by design:
+  * experiments are Python callables registered in
+    tilawa_tpu.eval.experiments (no dynamic run.py loading by default,
+    though register_path() supports it)
+  * undecodable audio (mp3/m4a without ffmpeg) is skipped exactly like the
+    reference skips missing audio files (runner.py:299-303)
+  * p50/p90 latency are reported alongside the mean
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from datetime import datetime
+from pathlib import Path
+
+from tilawa_tpu.data.audio import UnsupportedAudioFormat
+from tilawa_tpu.eval.metrics import predict_to_emissions, score_sequence
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+
+CORPUS_DIRS = {
+    "v1": Path(os.getenv("TILAWA_CORPUS_V1", str(_REPO_ROOT / "benchmark" / "test_corpus"))),
+    "v2": Path(os.getenv("TILAWA_CORPUS_V2", "/root/reference/benchmark/test_corpus_v2")),
+    "v3": Path(os.getenv("TILAWA_CORPUS_V3", "/root/reference/benchmark/test_corpus_v3")),
+}
+RESULTS_DIR = Path(os.getenv("TILAWA_RESULTS_DIR", str(_REPO_ROOT / "benchmark" / "results")))
+
+
+def load_manifest(corpus: str = "v1") -> tuple[list[dict], Path]:
+    corpus_dir = CORPUS_DIRS[corpus]
+    with open(corpus_dir / "manifest.json", encoding="utf-8") as f:
+        data = json.load(f)
+    samples = data["samples"] if isinstance(data, dict) else data
+    return samples, corpus_dir
+
+
+def _percentile(values: list[float], q: float) -> float:
+    if not values:
+        return 0.0
+    vals = sorted(values)
+    idx = min(len(vals) - 1, max(0, int(round(q * (len(vals) - 1)))))
+    return vals[idx]
+
+
+def run_experiment(
+    name: str,
+    pipeline,
+    samples: list[dict],
+    corpus_dir: Path,
+    mode: str = "full",
+    chunk_seconds: float = 3.0,
+    streaming_pipeline=None,
+) -> dict:
+    """Evaluate one experiment object over the sample set.
+
+    `pipeline` exposes predict(path) and/or transcribe(path); predict wins
+    (reference dispatch: runner.py:250-268). In streaming mode without
+    predict, transcribe() chunks feed the StreamingPipeline.
+    """
+    use_predict = hasattr(pipeline, "predict")
+    if not use_predict and not hasattr(pipeline, "transcribe"):
+        raise ValueError(f"{name}: no predict() or transcribe()")
+
+    # Warmup (uncounted — reference: runner.py:271-280).
+    for sample in samples:
+        path = corpus_dir / sample["file"]
+        if not path.exists():
+            continue
+        try:
+            if use_predict:
+                pipeline.predict(str(path))
+            else:
+                pipeline.transcribe(str(path))
+            break
+        except UnsupportedAudioFormat:
+            continue
+        except Exception as e:  # noqa: BLE001
+            print(f"  warmup failed for {name}: {e}")
+            break
+
+    size = 0
+    if hasattr(pipeline, "model_size"):
+        try:
+            size = pipeline.model_size()
+        except Exception:  # noqa: BLE001
+            size = 0
+
+    totals = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
+    latencies: list[float] = []
+    per_sample: list[dict] = []
+    skipped = 0
+
+    for sample in samples:
+        path = corpus_dir / sample["file"]
+        if not path.exists():
+            skipped += 1
+            continue
+        expected = sample.get(
+            "expected_verses", [{"surah": sample["surah"], "ayah": sample["ayah"]}]
+        )
+        try:
+            start = time.perf_counter()
+            if use_predict:
+                emissions = predict_to_emissions(pipeline.predict(str(path)))
+            elif mode == "streaming":
+                emissions = streaming_pipeline.run_on_audio_chunked(
+                    str(path), pipeline.transcribe, chunk_seconds=chunk_seconds
+                )
+            else:
+                emissions = streaming_pipeline.run_on_full_transcript(
+                    str(path), pipeline.transcribe
+                )
+            elapsed = time.perf_counter() - start
+        except UnsupportedAudioFormat:
+            skipped += 1
+            continue
+        except Exception as e:  # noqa: BLE001
+            print(f"  error on {sample['id']}: {e}")
+            emissions, elapsed = [], 0.0
+
+        scores = score_sequence(expected, emissions)
+        for k in totals:
+            totals[k] += scores[k]
+        latencies.append(elapsed)
+        per_sample.append(
+            {
+                "id": sample["id"],
+                "expected": expected,
+                "predicted": emissions,
+                **scores,
+                "latency": elapsed,
+            }
+        )
+
+    n = len(per_sample)
+    label = name if mode == "full" else f"{name} (stream {chunk_seconds:.0f}s)"
+    return {
+        "name": label,
+        "recall": totals["recall"] / n if n else 0.0,
+        "precision": totals["precision"] / n if n else 0.0,
+        "sequence_accuracy": totals["sequence_accuracy"] / n if n else 0.0,
+        "total": n,
+        "skipped": skipped,
+        "avg_latency": sum(latencies) / n if n else 0.0,
+        "p50_latency": _percentile(latencies, 0.5),
+        "p90_latency": _percentile(latencies, 0.9),
+        "model_size": size,
+        "per_sample": per_sample,
+    }
+
+
+def save_results(
+    results: list[dict],
+    *,
+    mode: str = "full",
+    category: str | None = None,
+    chunk_seconds: float = 3.0,
+) -> Path:
+    """Timestamped artifact + best-per-scope latest.json merge
+    (reference: runner.py:386-469; better seq-acc wins, latency breaks ties)."""
+    RESULTS_DIR.mkdir(parents=True, exist_ok=True)
+    timestamp = datetime.now().strftime("%Y-%m-%d_%H%M%S")
+    path = RESULTS_DIR / f"{timestamp}.json"
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=2, default=str)
+
+    latest_path = RESULTS_DIR / "latest.json"
+    latest: dict[tuple, dict] = {}
+    if latest_path.exists():
+        with open(latest_path, encoding="utf-8") as f:
+            for entry in json.load(f):
+                key = (
+                    entry.get("name"), entry.get("mode", "full"),
+                    entry.get("category"), entry.get("total"),
+                    entry.get("chunk_seconds"),
+                )
+                latest[key] = entry
+
+    for r in results:
+        summary = {
+            k: r[k]
+            for k in (
+                "name", "recall", "precision", "sequence_accuracy", "total",
+                "avg_latency", "p50_latency", "p90_latency", "model_size",
+            )
+        }
+        summary.update(
+            timestamp=timestamp,
+            mode=mode,
+            category=category,
+            chunk_seconds=chunk_seconds if mode == "streaming" else None,
+            source_file=path.name,
+        )
+        key = (
+            summary["name"], summary["mode"], summary["category"],
+            summary["total"], summary["chunk_seconds"],
+        )
+        prev = latest.get(key)
+        if (
+            prev is None
+            or r["sequence_accuracy"] > prev.get("sequence_accuracy", 0)
+            or (
+                r["sequence_accuracy"] == prev.get("sequence_accuracy", 0)
+                and r["avg_latency"] < prev.get("avg_latency", float("inf"))
+            )
+        ):
+            latest[key] = summary
+
+    with open(latest_path, "w", encoding="utf-8") as f:
+        json.dump(
+            sorted(
+                latest.values(),
+                key=lambda x: (
+                    x.get("name", ""), x.get("mode", "full"),
+                    x.get("category") or "", x.get("total", 0),
+                    x.get("chunk_seconds") or 0,
+                ),
+            ),
+            f, indent=2, default=str,
+        )
+    return path
+
+
+def print_table(results: list[dict]) -> None:
+    print()
+    print(
+        f"{'Experiment':<34} {'Recall':>7} {'Prec':>7} {'SeqAcc':>7} "
+        f"{'Mean':>8} {'p50':>8} {'N':>4}"
+    )
+    print("-" * 80)
+    for r in results:
+        print(
+            f"{r['name']:<34} {r['recall']:>6.0%} {r['precision']:>6.0%} "
+            f"{r['sequence_accuracy']:>6.0%} {r['avg_latency']:>7.2f}s "
+            f"{r['p50_latency']:>7.2f}s {r['total']:>4}"
+        )
+    print()
+
+
+def main(argv=None):
+    from tilawa_tpu.eval.experiments import get_experiment, list_experiments
+
+    parser = argparse.ArgumentParser(description="tilawa-tpu benchmark runner")
+    parser.add_argument("--experiment", default="c2c-direct-mixed-tta")
+    parser.add_argument("--corpus", default="v1", choices=list(CORPUS_DIRS))
+    parser.add_argument("--category", default=None)
+    parser.add_argument("--mode", default="full", choices=["full", "streaming"])
+    parser.add_argument("--chunk", type=float, default=3.0)
+    parser.add_argument("--list", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.list:
+        for name in list_experiments():
+            print(name)
+        return
+
+    samples, corpus_dir = load_manifest(args.corpus)
+    if args.category:
+        samples = [s for s in samples if s["category"] == args.category]
+
+    pipeline = get_experiment(args.experiment)
+    streaming_pipeline = None
+    if not hasattr(pipeline, "predict") or args.mode == "streaming":
+        from tilawa_tpu.streaming.pipeline import StreamingPipeline
+
+        streaming_pipeline = StreamingPipeline()
+
+    result = run_experiment(
+        args.experiment, pipeline, samples, corpus_dir,
+        mode=args.mode, chunk_seconds=args.chunk,
+        streaming_pipeline=streaming_pipeline,
+    )
+    print_table([result])
+    out = save_results(
+        [result], mode=args.mode, category=args.category, chunk_seconds=args.chunk
+    )
+    print(f"results saved to {out}")
+
+
+if __name__ == "__main__":
+    main()

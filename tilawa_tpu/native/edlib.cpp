@@ -22,6 +22,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -50,7 +51,77 @@ inline int dp_lev(const uint32_t* a, int m, const uint32_t* b, int n,
   return row[m];
 }
 
+// ---------------------------------------------------------------------------
+// Bit-parallel LCS length (Crochemore-Iliopoulos-Pinzon-Reid / Hyyrö).
+// Recurrence per text char c:  U = V & M[c];  V = (V + U) | (V & ~M[c])
+// with multiword carry. LCS = number of zero bits among the low m bits of V.
+// The low m bits evolve independently of any junk above them (carries only
+// propagate upward), so V starts as all-ones with no end masking needed
+// until the final popcount.
+// ---------------------------------------------------------------------------
+
+struct BitPattern {
+  int m = 0;
+  int words = 0;
+  // mask rows: row 0 is the all-zero mask for chars absent from the pattern.
+  std::vector<uint64_t> rows;
+  std::unordered_map<uint32_t, int> index;
+
+  void build(const uint32_t* p, int m_) {
+    m = m_;
+    words = (m + 63) >> 6;
+    rows.assign(static_cast<size_t>(words), 0);  // row 0: zeros
+    index.clear();
+    for (int i = 0; i < m; ++i) {
+      const uint32_t c = p[i];
+      auto it = index.find(c);
+      int r;
+      if (it == index.end()) {
+        r = static_cast<int>(rows.size() / words);
+        index.emplace(c, r);
+        rows.resize(rows.size() + words, 0);
+      } else {
+        r = it->second;
+      }
+      rows[static_cast<size_t>(r) * words + (i >> 6)] |= 1ULL << (i & 63);
+    }
+  }
+
+  const uint64_t* mask_for(uint32_t c) const {
+    auto it = index.find(c);
+    return rows.data() + static_cast<size_t>(it == index.end() ? 0 : it->second) * words;
+  }
+
+  // LCS length between the pattern and text[0..n).
+  int lcs(const uint32_t* text, int n, std::vector<uint64_t>& v) const {
+    if (m == 0 || n == 0) return 0;
+    v.assign(static_cast<size_t>(words), ~0ULL);
+    for (int j = 0; j < n; ++j) {
+      const uint64_t* mk = mask_for(text[j]);
+      uint64_t carry = 0;
+      for (int w = 0; w < words; ++w) {
+        const uint64_t vw = v[w];
+        const uint64_t u = vw & mk[w];
+        const uint64_t s1 = vw + u;
+        uint64_t c1 = s1 < vw;
+        const uint64_t s2 = s1 + carry;
+        c1 |= s2 < s1;
+        v[w] = s2 | (vw & ~mk[w]);
+        carry = c1;
+      }
+    }
+    int zeros = 0;
+    for (int w = 0; w < words; ++w) {
+      uint64_t bits = ~v[w];
+      if (w == words - 1 && (m & 63)) bits &= (1ULL << (m & 63)) - 1;
+      zeros += __builtin_popcountll(bits);
+    }
+    return zeros;
+  }
+};
+
 // Indel distance = m + n - 2*LCS(a, b); computed via the LCS DP.
+// Kept as the scalar oracle for the bit-parallel path.
 inline int dp_indel(const uint32_t* a, int m, const uint32_t* b, int n,
                     std::vector<int>& row) {
   if (m == 0) return n;
@@ -103,15 +174,19 @@ inline int dp_semi_global(const uint32_t* q, int m, const uint32_t* r, int n,
 
 // Best indel ratio of the shorter string against every window of its own
 // length in the longer string (reference: shared/quran_db.py:10-28).
-inline double dp_partial_ratio(const uint32_t* a, int m, const uint32_t* b,
-                               int n, std::vector<int>& row) {
+// Pattern masks are built once for the short side; each window costs
+// O(window_len * ceil(m/64)) via the bit-parallel LCS.
+inline double bp_partial_ratio(const uint32_t* a, int m, const uint32_t* b,
+                               int n, BitPattern& pat,
+                               std::vector<uint64_t>& v) {
   if (m == 0 || n == 0) return 0.0;
   if (m > n) { std::swap(a, b); std::swap(m, n); }
+  pat.build(a, m);
   const int windows = std::max(1, n - m + 1);
   double best = 0.0;
   for (int s = 0; s < windows; ++s) {
-    const int d = dp_indel(a, m, b + s, m, row);
-    const double r = static_cast<double>(2 * m - d) / (2 * m);
+    const int lcs = pat.lcs(b + s, std::min(m, n - s), v);
+    const double r = static_cast<double>(lcs) / m;  // (2m - (2m-2*lcs)) / 2m
     if (r > best) {
       best = r;
       if (best >= 1.0) break;
@@ -123,19 +198,28 @@ inline double dp_partial_ratio(const uint32_t* a, int m, const uint32_t* b,
 enum Kind { KIND_LEV = 0, KIND_INDEL = 1, KIND_SEMI = 2, KIND_PARTIAL = 3 };
 
 void scan_range(int kind, const uint32_t* q, int qlen, const uint32_t* corpus,
-                const int64_t* offsets, int lo, int hi, double* out) {
+                const int64_t* offsets, const int64_t* indices, int lo, int hi,
+                double* out) {
   std::vector<int> row;
+  std::vector<uint64_t> v;
+  BitPattern qpat;       // query-side masks, built lazily once
+  BitPattern spat;       // per-row masks for partial when the row is shorter
+  bool qpat_built = false;
   for (int k = lo; k < hi; ++k) {
-    const uint32_t* s = corpus + offsets[k];
-    const int slen = static_cast<int>(offsets[k + 1] - offsets[k]);
+    const int64_t idx = indices ? indices[k] : k;
+    const uint32_t* s = corpus + offsets[idx];
+    const int slen = static_cast<int>(offsets[idx + 1] - offsets[idx]);
     switch (kind) {
       case KIND_LEV:
         out[k] = dp_lev(q, qlen, s, slen, row);
         break;
       case KIND_INDEL: {
-        const int d = dp_indel(q, qlen, s, slen, row);
         const int lensum = qlen + slen;
-        out[k] = lensum ? static_cast<double>(lensum - d) / lensum : 1.0;
+        if (!lensum) { out[k] = 1.0; break; }
+        if (qlen == 0 || slen == 0) { out[k] = 0.0; break; }
+        if (!qpat_built) { qpat.build(q, qlen); qpat_built = true; }
+        const int lcs = qpat.lcs(s, slen, v);
+        out[k] = static_cast<double>(2 * lcs) / lensum;
         break;
       }
       case KIND_SEMI: {
@@ -143,9 +227,23 @@ void scan_range(int kind, const uint32_t* q, int qlen, const uint32_t* corpus,
         out[k] = qlen ? std::max(0.0, 1.0 - static_cast<double>(d) / qlen) : 1.0;
         break;
       }
-      case KIND_PARTIAL:
-        out[k] = dp_partial_ratio(q, qlen, s, slen, row);
+      case KIND_PARTIAL: {
+        if (qlen == 0 || slen == 0) { out[k] = 0.0; break; }
+        if (qlen <= slen) {
+          if (!qpat_built) { qpat.build(q, qlen); qpat_built = true; }
+          const int windows = std::max(1, slen - qlen + 1);
+          double best = 0.0;
+          for (int w = 0; w < windows; ++w) {
+            const int lcs = qpat.lcs(s + w, qlen, v);
+            const double r = static_cast<double>(lcs) / qlen;
+            if (r > best) { best = r; if (best >= 1.0) break; }
+          }
+          out[k] = best;
+        } else {
+          out[k] = bp_partial_ratio(s, slen, q, qlen, spat, v);
+        }
         break;
+      }
     }
   }
 }
@@ -160,6 +258,16 @@ int lev_distance(const uint32_t* a, int m, const uint32_t* b, int n) {
 }
 
 int indel_distance(const uint32_t* a, int m, const uint32_t* b, int n) {
+  if (m == 0 || n == 0) return m + n;
+  BitPattern pat;
+  std::vector<uint64_t> v;
+  pat.build(a, m);
+  return m + n - 2 * pat.lcs(b, n, v);
+}
+
+// Scalar-DP variant kept callable for cross-validation of the bit-parallel
+// path from the Python test suite.
+int indel_distance_scalar(const uint32_t* a, int m, const uint32_t* b, int n) {
   std::vector<int> row;
   return dp_indel(a, m, b, n, row);
 }
@@ -172,39 +280,58 @@ int semi_global_distance(const uint32_t* q, int m, const uint32_t* r, int n) {
 double lev_ratio(const uint32_t* a, int m, const uint32_t* b, int n) {
   const int lensum = m + n;
   if (lensum == 0) return 1.0;
-  std::vector<int> row;
-  return static_cast<double>(lensum - dp_indel(a, m, b, n, row)) / lensum;
+  return static_cast<double>(lensum - indel_distance(a, m, b, n)) / lensum;
 }
 
 double partial_ratio(const uint32_t* a, int m, const uint32_t* b, int n) {
-  std::vector<int> row;
-  return dp_partial_ratio(a, m, b, n, row);
+  BitPattern pat;
+  std::vector<uint64_t> v;
+  return bp_partial_ratio(a, m, b, n, pat, v);
 }
 
 // Batched scan: `kind` selects the metric (0=lev distance, 1=indel ratio,
-// 2=fragment score).  `corpus` is all strings concatenated; `offsets` has
-// num_strings+1 entries.  Results land in `out[num_strings]`.
-void batch_scan(int kind, const uint32_t* q, int qlen, const uint32_t* corpus,
-                const int64_t* offsets, int num_strings, int num_threads,
-                double* out) {
-  if (num_strings <= 0) return;
-  if (num_threads <= 1 || num_strings < 64) {
-    scan_range(kind, q, qlen, corpus, offsets, 0, num_strings, out);
+// 2=fragment score, 3=partial ratio).  `corpus` is all strings concatenated;
+// `offsets` has num_strings+1 entries.  When `indices` is non-null, only the
+// `count` rows it names are scored (results land in out[0..count)); when
+// null, all `count` corpus rows are scored in order.
+static void batch_scan_impl(int kind, const uint32_t* q, int qlen,
+                            const uint32_t* corpus, const int64_t* offsets,
+                            const int64_t* indices, int count, int num_threads,
+                            double* out) {
+  if (count <= 0) return;
+  if (num_threads <= 1 || count < 64) {
+    scan_range(kind, q, qlen, corpus, offsets, indices, 0, count, out);
     return;
   }
   const int hw = static_cast<int>(std::thread::hardware_concurrency());
   int nt = std::min(num_threads, hw > 0 ? hw : 4);
-  nt = std::min(nt, num_strings);
+  nt = std::min(nt, count);
   std::vector<std::thread> threads;
   threads.reserve(nt);
-  const int per = (num_strings + nt - 1) / nt;
+  const int per = (count + nt - 1) / nt;
   for (int t = 0; t < nt; ++t) {
     const int lo = t * per;
-    const int hi = std::min(num_strings, lo + per);
+    const int hi = std::min(count, lo + per);
     if (lo >= hi) break;
-    threads.emplace_back(scan_range, kind, q, qlen, corpus, offsets, lo, hi, out);
+    threads.emplace_back(scan_range, kind, q, qlen, corpus, offsets, indices,
+                         lo, hi, out);
   }
   for (auto& th : threads) th.join();
+}
+
+void batch_scan(int kind, const uint32_t* q, int qlen, const uint32_t* corpus,
+                const int64_t* offsets, int num_strings, int num_threads,
+                double* out) {
+  batch_scan_impl(kind, q, qlen, corpus, offsets, nullptr, num_strings,
+                  num_threads, out);
+}
+
+void batch_scan_subset(int kind, const uint32_t* q, int qlen,
+                       const uint32_t* corpus, const int64_t* offsets,
+                       const int64_t* indices, int count, int num_threads,
+                       double* out) {
+  batch_scan_impl(kind, q, qlen, corpus, offsets, indices, count, num_threads,
+                  out);
 }
 
 }  // extern "C"

@@ -59,48 +59,74 @@ def ctc_forward_scores(
 ) -> jnp.ndarray:
     """Length-normalized CTC NLL of every candidate against one log-prob
     matrix. Returns [C] float32; +inf marks infeasible (2L+1 > t_valid or
-    L == 0)."""
+    L == 0).
+
+    Formulation: the [T, C, L] label-emission gather happens ONCE outside
+    the time scan (XLA vectorizes it along L), so each scan step is pure
+    elementwise work on the odd/even lattice halves — no per-step gathers.
+    alpha is carried split into blank states [C, L+1] and label states
+    [C, L]."""
     t_total, _v = log_probs.shape
     c, l = tokens.shape
-    s = 2 * l + 1
 
-    states, skip = build_ctc_states(tokens, blank_id)
+    # Emissions: lp_lab[t, c, k] = log_probs[t, tokens[c, k]]; lp_blk[t].
+    lp_lab = jnp.take_along_axis(
+        log_probs[:, None, :], tokens[None, :, :], axis=2
+    )                                               # [T, C, L]
+    lp_blk = log_probs[:, blank_id]                 # [T]
 
-    s_idx = jnp.arange(s)[None, :]                     # [1, S]
-    n_states = 2 * lengths[:, None] + 1                # [C, 1]
-    valid_state = s_idx < n_states                     # [C, S]
+    k_idx = jnp.arange(l)[None, :]                  # [1, L]
+    valid_lab = k_idx < lengths[:, None]            # [C, L]
+    valid_blk = jnp.arange(l + 1)[None, :] <= lengths[:, None]  # [C, L+1]
 
-    # alpha_0: only states 0 and 1 are reachable.
-    lp0 = log_probs[0]
-    alpha0 = jnp.where(
-        (s_idx < jnp.minimum(n_states, 2)) & valid_state,
-        lp0[states],
-        NEG_INF,
+    # skip transition allowed into label state k: tokens[k] != tokens[k-1]
+    prev_tok = jnp.concatenate(
+        [jnp.full((c, 1), -1, tokens.dtype), tokens[:, :-1]], axis=1
     )
+    skip = (tokens != prev_tok) & (k_idx > 0)       # [C, L]
 
-    def step(alpha, lp_t_and_t):
-        lp_t, t = lp_t_and_t
-        a1 = jnp.concatenate(
-            [jnp.full((c, 1), NEG_INF, alpha.dtype), alpha[:, :-1]], axis=1
+    # t = 0: blank state 0 and label state 0 reachable.
+    a_blk0 = jnp.where(
+        (jnp.arange(l + 1)[None, :] == 0) & valid_blk, lp_blk[0], NEG_INF
+    )
+    a_lab0 = jnp.where((k_idx == 0) & valid_lab, lp_lab[0], NEG_INF)
+
+    def step(carry, xs):
+        a_blk, a_lab = carry                        # [C, L+1], [C, L]
+        lab_t, blk_t, t = xs                        # [C, L], scalar, scalar
+        # blank state b_k (k=0..L): from itself and label state k-1.
+        lab_shift = jnp.concatenate(
+            [jnp.full((c, 1), NEG_INF, a_lab.dtype), a_lab], axis=1
+        )                                           # [C, L+1]
+        new_blk = jnp.where(
+            valid_blk, jnp.logaddexp(a_blk, lab_shift) + blk_t, NEG_INF
         )
-        a2 = jnp.concatenate(
-            [jnp.full((c, 2), NEG_INF, alpha.dtype), alpha[:, :-2]], axis=1
+        # label state l_k: from itself, blank k, and label k-1 when skip.
+        lab_prev = jnp.concatenate(
+            [jnp.full((c, 1), NEG_INF, a_lab.dtype), a_lab[:, :-1]], axis=1
         )
-        a2 = jnp.where(skip, a2, NEG_INF)
-        stacked = jnp.stack([alpha, a1, a2], axis=0)
-        total = jax.nn.logsumexp(stacked, axis=0)
-        new_alpha = jnp.where(valid_state, total + lp_t[states], NEG_INF)
+        total = jnp.logaddexp(a_lab, a_blk[:, :l])
+        total = jnp.logaddexp(total, jnp.where(skip, lab_prev, NEG_INF))
+        new_lab = jnp.where(valid_lab, total + lab_t, NEG_INF)
         # Past the true frame count the step is the identity.
-        new_alpha = jnp.where(t < t_valid, new_alpha, alpha)
-        return new_alpha, None
+        live = t < t_valid
+        return (
+            jnp.where(live, new_blk, a_blk),
+            jnp.where(live, new_lab, a_lab),
+        ), None
 
     ts = jnp.arange(1, t_total)
-    alpha, _ = jax.lax.scan(step, alpha0, (log_probs[1:], ts))
+    (a_blk, a_lab), _ = jax.lax.scan(
+        step, (a_blk0, a_lab0), (lp_lab[1:], lp_blk[1:], ts)
+    )
 
-    last = 2 * lengths          # index of final blank state
-    second = 2 * lengths - 1    # index of final label state
-    gather = jax.vmap(lambda row, i, j: jnp.logaddexp(row[i], jnp.where(j >= 0, row[j], NEG_INF)))
-    final = gather(alpha, last, second)
+    final_blank = jnp.take_along_axis(a_blk, lengths[:, None], axis=1)[:, 0]
+    final_label = jnp.take_along_axis(
+        a_lab, jnp.maximum(lengths - 1, 0)[:, None], axis=1
+    )[:, 0]
+    final = jnp.logaddexp(
+        final_blank, jnp.where(lengths > 0, final_label, NEG_INF)
+    )
 
     feasible = (2 * lengths + 1 <= t_valid) & (lengths > 0)
     norm = -final / jnp.maximum(lengths.astype(log_probs.dtype), 1.0)
@@ -150,9 +176,13 @@ def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
     return buckets[-1] if n <= buckets[-1] else int(np.ceil(n / buckets[-1])) * buckets[-1]
 
 
-TOKEN_BUCKETS = (32, 64, 128, 256, 512)
-CAND_BUCKETS = (64, 128, 256, 512, 1024)
-FRAME_BUCKETS = (256, 512, 1024, 2048, 4096)
+# Bucket ladders are deliberately coarse: every distinct (T, C, L) triple is
+# one XLA program, and the tunneled-TPU environment cannot persist compiled
+# programs across processes — fewer shapes means a short warmup covers the
+# whole serving envelope.
+TOKEN_BUCKETS = (32, 128, 512)
+CAND_BUCKETS = (512,)
+FRAME_BUCKETS = (512, 1024, 2048, 4096)
 
 
 def pad_candidates(

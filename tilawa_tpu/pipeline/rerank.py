@@ -17,7 +17,12 @@ import numpy as np
 
 from tilawa_tpu.data.assets import BLANK_ID
 from tilawa_tpu.data.token_store import TokenStore
-from tilawa_tpu.ops.ctc import ctc_forward_scores, pad_candidates, pad_frames
+from tilawa_tpu.ops.ctc import (
+    TOKEN_BUCKETS,
+    ctc_forward_scores,
+    pad_candidates,
+    pad_frames,
+)
 
 SPAN_PENALTY = float(os.getenv("TILAWA_SPAN_PENALTY", "0.5"))
 TEXT_WEIGHT = float(os.getenv("TILAWA_TEXT_WEIGHT", "0.0"))
@@ -25,6 +30,61 @@ TEXT_WEIGHT = float(os.getenv("TILAWA_TEXT_WEIGHT", "0.0"))
 
 def span_len(c: dict) -> int:
     return (c.get("ayah_end") or c["ayah"]) - c["ayah"] + 1
+
+
+# Bound on the [T, C, L] emission-gather buffer per dispatch (float32).
+_MAX_GATHER_BYTES = int(os.getenv("TILAWA_RERANK_GATHER_BYTES", str(256 << 20)))
+
+
+def _cand_bucket_for(t_frames: int, l_pad: int) -> int:
+    """Candidate-axis padding for a given (T, L): the largest power-of-two
+    in [64, 512] keeping the [T, C, L] emission gather under the byte
+    bound. One deterministic C per (T, L) → at most |T|x|L| XLA programs."""
+    c = 512
+    while c > 64 and t_frames * c * l_pad * 4 > _MAX_GATHER_BYTES:
+        c //= 2
+    return c
+
+
+def _score_feasible(
+    lp_padded: np.ndarray, t: int, token_lists: list[list[int]],
+    order: list[int], blank_id: int,
+) -> np.ndarray:
+    """Score candidates (already sorted by token length) in L-bucketed,
+    memory-bounded chunks; returns scores aligned with `order`."""
+    from tilawa_tpu.ops.ctc import _next_bucket
+
+    out = np.full(len(order), np.inf, dtype=np.float64)
+    lp_dev = jnp.asarray(lp_padded)
+    t_frames = lp_padded.shape[0]
+    pos = 0
+    while pos < len(order):
+        l_pad = _next_bucket(
+            max(len(token_lists[order[pos]]), 1), TOKEN_BUCKETS
+        )
+        c_pad = _cand_bucket_for(t_frames, l_pad)
+        end = pos
+        while (
+            end < len(order)
+            and end - pos < c_pad
+            and len(token_lists[order[end]]) <= l_pad
+        ):
+            end += 1
+        chunk = order[pos:end]
+        tokens, lengths = pad_candidates(
+            [token_lists[i] for i in chunk],
+            token_buckets=(l_pad,),
+            cand_buckets=(c_pad,),
+        )
+        scores = np.asarray(
+            ctc_forward_scores(
+                lp_dev, jnp.int32(t), jnp.asarray(tokens),
+                jnp.asarray(lengths), blank_id,
+            )
+        )
+        out[pos:end] = scores[: len(chunk)]
+        pos = end
+    return out
 
 
 def ctc_rerank(
@@ -37,23 +97,28 @@ def ctc_rerank(
     text_weight: float = TEXT_WEIGHT,
 ) -> list[dict]:
     """Annotate candidates with ctc_norm_loss/final_score; return the
-    feasible ones sorted best-first."""
+    feasible ones sorted best-first. Infeasible candidates (2L+1 > T,
+    reference: c2c-direct/run.py:330-335) are dropped host-side before any
+    padding so span explosions never inflate the device workload."""
     if not candidates:
         return []
 
     token_lists = [token_store.ids_for_candidate(c) for c in candidates]
-    tokens, lengths = pad_candidates(token_lists)
-    lp_padded, t = pad_frames(np.asarray(log_probs[:t_valid], dtype=np.float32))
+    feasible_idx = [
+        i for i, ids in enumerate(token_lists)
+        if ids and 2 * len(ids) + 1 <= t_valid
+    ]
+    # Sort by token length so chunks are L-homogeneous.
+    feasible_idx.sort(key=lambda i: len(token_lists[i]))
 
-    scores = np.asarray(
-        ctc_forward_scores(
-            jnp.asarray(lp_padded),
-            jnp.int32(t),
-            jnp.asarray(tokens),
-            jnp.asarray(lengths),
-            blank_id,
+    scores = np.full(len(candidates), np.inf, dtype=np.float64)
+    if feasible_idx:
+        lp_padded, t = pad_frames(np.asarray(log_probs[:t_valid], dtype=np.float32))
+        scores_f = _score_feasible(
+            lp_padded, t, token_lists, feasible_idx, blank_id
         )
-    )
+        for j, i in enumerate(feasible_idx):
+            scores[i] = scores_f[j]
 
     for i, cand in enumerate(candidates):
         norm_loss = float(scores[i])

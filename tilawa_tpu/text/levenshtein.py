@@ -88,6 +88,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, u32p, ctypes.c_int, u32p, i64p,
             ctypes.c_int, ctypes.c_int, f64p,
         ]
+        lib.batch_scan_subset.restype = None
+        lib.batch_scan_subset.argtypes = [
+            ctypes.c_int, u32p, ctypes.c_int, u32p, i64p, i64p,
+            ctypes.c_int, ctypes.c_int, f64p,
+        ]
         _lib = lib
         return lib
 
@@ -278,3 +283,31 @@ class Corpus:
 
     def batch_partial_ratio(self, query: str) -> np.ndarray:
         return self._scan(3, query)
+
+    def _scan_subset(self, kind: int, query: str, indices: np.ndarray) -> np.ndarray:
+        """Score only the named corpus rows; returns array aligned with
+        `indices`."""
+        idx = np.ascontiguousarray(indices, dtype=np.int64)
+        out = np.empty(len(idx), dtype=np.float64)
+        if len(idx) == 0:
+            return out
+        lib = _load()
+        if lib is not None:
+            cq = _codes(query)
+            lib.batch_scan_subset(
+                kind, _u32p(cq), len(cq),
+                _u32p(self._flat),
+                self._offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(idx), _NUM_THREADS,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            )
+            return out
+        full = self._scan(kind, query)
+        return full[idx]
+
+    def subset_partial_ratio(self, query: str, indices: np.ndarray) -> np.ndarray:
+        return self._scan_subset(3, query, indices)
+
+    def subset_ratio(self, query: str, indices: np.ndarray) -> np.ndarray:
+        return self._scan_subset(1, query, indices)

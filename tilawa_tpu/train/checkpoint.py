@@ -1,0 +1,72 @@
+"""Checkpoint save/load for model variables.
+
+The reference checkpoints through Lightning onto Modal volumes and
+distributes .nemo archives (reference: scripts/train_fastconformer_phoneme_
+modal.py:1334+, SURVEY.md §5.4). Here: flax msgpack serialization plus a
+JSON config sidecar; orbax is used by the training loop for async
+checkpointing when available.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+from flax import serialization
+
+from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCTC
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+CHECKPOINT_DIR = Path(os.getenv("TILAWA_CHECKPOINT_DIR", str(_REPO_ROOT / "checkpoints")))
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+
+
+def save_variables(path: str | Path, config: FastConformerConfig, variables) -> Path:
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    cfg = dataclasses.asdict(config)
+    cfg["dtype"] = jnp.dtype(config.dtype).name
+    (path / "config.json").write_text(json.dumps(cfg, indent=2))
+    (path / "variables.msgpack").write_bytes(serialization.to_bytes(variables))
+    return path
+
+
+def load_variables(path: str | Path):
+    path = Path(path)
+    cfg = json.loads((path / "config.json").read_text())
+    cfg["dtype"] = _DTYPES[cfg.get("dtype", "float32")]
+    config = FastConformerConfig(**cfg)
+
+    import jax
+
+    model = FastConformerCTC(config)
+    with jax.default_device(jax.local_devices(backend="cpu")[0] if any(
+        d.platform == "cpu" for d in jax.local_devices()
+    ) else jax.local_devices()[0]):
+        template = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, 32000), jnp.float32),
+                jnp.array([32000], jnp.int32),
+            )
+        )
+    variables = serialization.from_bytes(
+        template, (path / "variables.msgpack").read_bytes()
+    )
+    return config, variables
+
+
+def latest_checkpoint(root: str | Path | None = None) -> Path | None:
+    root = Path(root) if root else CHECKPOINT_DIR
+    if not root.exists():
+        return None
+    candidates = [
+        p for p in root.iterdir() if (p / "variables.msgpack").exists()
+    ]
+    if not candidates:
+        return None
+    return max(candidates, key=lambda p: p.stat().st_mtime)

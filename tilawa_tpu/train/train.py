@@ -1,0 +1,196 @@
+"""CTC training loop: optax AdamW + cosine schedule, SPMD over the mesh.
+
+The reference trains via NeMo/Lightning on a single remote A100 with
+CTC-only steps monkey-patched onto a hybrid model (reference:
+scripts/train_fastconformer_phoneme_modal.py:170-252, 817-1332). Here the
+loop is a jitted train_step over a ("data","model") mesh: batch sharded on
+"data", wide matmuls optionally sharded on "model"
+(tilawa_tpu.parallel.sharding), XLA inserting the collectives.
+
+Data: any iterable of (audio [B,N] f32, audio_lens [B], tokens [B,L],
+token_lens [B]) — see tilawa_tpu.train.data for the corpus-overfit dataset
+used in integration tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCTC
+from tilawa_tpu.parallel.mesh import make_mesh
+from tilawa_tpu.parallel.sharding import shard_variables
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(
+    lr: float = 3e-4, warmup_steps: int = 100, total_steps: int = 10_000,
+    weight_decay: float = 1e-4,
+):
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1)
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def ctc_loss_fn(log_probs, enc_lens, tokens, token_lens, blank_id: int):
+    """Mean per-sequence CTC NLL (optax.ctc_loss over padded batches)."""
+    b, t, _v = log_probs.shape
+    logit_paddings = (
+        jnp.arange(t)[None, :] >= enc_lens[:, None]
+    ).astype(jnp.float32)
+    label_paddings = (
+        jnp.arange(tokens.shape[1])[None, :] >= token_lens[:, None]
+    ).astype(jnp.float32)
+    losses = optax.ctc_loss(
+        log_probs, logit_paddings, tokens, label_paddings, blank_id=blank_id
+    )
+    return losses.mean()
+
+
+def make_train_step(model: FastConformerCTC, tx, blank_id: int):
+    def train_step(state: TrainState, batch, rng):
+        audio, audio_lens, tokens, token_lens = batch
+        dropout_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            (log_probs, enc_lens), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                audio, audio_lens,
+                deterministic=False,
+                use_running_average=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng},
+            )
+            loss = ctc_loss_fn(log_probs, enc_lens, tokens, token_lens, blank_id)
+            return loss, updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    return train_step
+
+
+def init_state(
+    config: FastConformerConfig, tx, seed: int = 0, example_samples: int = 32000
+) -> tuple[FastConformerCTC, TrainState]:
+    model = FastConformerCTC(config)
+    variables = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, example_samples), jnp.float32),
+        jnp.array([example_samples], jnp.int32),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, state
+
+
+def train(
+    config: FastConformerConfig,
+    batches: Iterator,
+    steps: int,
+    lr: float = 3e-4,
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 20,
+    checkpoint_dir: str | Path | None = None,
+    checkpoint_every: int = 500,
+):
+    """Run the training loop; returns (model, final state, loss history)."""
+    tx = make_optimizer(lr=lr, total_steps=steps)
+    model, state = init_state(config, tx, seed=seed)
+    if mesh is not None:
+        state = state.replace(
+            params=shard_variables({"params": state.params}, mesh)["params"],
+        )
+    step_fn = jax.jit(make_train_step(model, tx, config.blank_id), donate_argnums=0)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    history: list[float] = []
+    t0 = time.time()
+    for i in range(steps):
+        batch = next(batches)
+        state, loss = step_fn(state, batch, rng)
+        if i % log_every == 0 or i == steps - 1:
+            lv = float(loss)
+            history.append(lv)
+            print(f"step {i:5d}  loss {lv:8.4f}  ({time.time()-t0:.0f}s)")
+        if checkpoint_dir and (i + 1) % checkpoint_every == 0:
+            _save(checkpoint_dir, config, state, i + 1)
+    if checkpoint_dir:
+        _save(checkpoint_dir, config, state, steps)
+    return model, state, history
+
+
+def _save(checkpoint_dir, config, state, step):
+    from tilawa_tpu.train.checkpoint import save_variables
+
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    path = Path(checkpoint_dir) / f"step_{step:06d}"
+    save_variables(path, config, variables)
+    print(f"checkpoint -> {path}")
+
+
+def main():  # pragma: no cover - CLI
+    import argparse
+
+    from tilawa_tpu.train.data import corpus_batches
+
+    parser = argparse.ArgumentParser(description="tilawa-tpu CTC training")
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--preset", default="small", choices=["small", "large"])
+    parser.add_argument("--checkpoint-dir", default="checkpoints/run")
+    args = parser.parse_args()
+
+    config = (
+        FastConformerConfig.small()
+        if args.preset == "small"
+        else FastConformerConfig.large()
+    )
+    batches = corpus_batches(batch_size=args.batch_size)
+    train(
+        config, batches, args.steps, lr=args.lr,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
