@@ -1,0 +1,79 @@
+"""End-to-end WebSocket serving test: real sockets, scripted backend."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from tilawa_tpu.streaming import ws as wslib
+from tilawa_tpu.streaming.server import RecitationServer
+
+
+@pytest.fixture(scope="module")
+def db():
+    from tilawa_tpu.data.quran import QuranDB
+
+    return QuranDB()
+
+
+def test_ws_roundtrip_verse_match(db):
+    async def scenario():
+        texts = iter(["قل هو الله احد"])
+        last = "قل هو الله احد"
+
+        def transcribe(audio):
+            return next(texts, last)
+
+        server = RecitationServer(transcribe, db=db)
+        srv = await wslib.serve(server.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        sock = await wslib.connect("127.0.0.1", port)
+        # status round-trip
+        await sock.send_text("status")
+        status = json.loads((await sock.receive()).text)
+        assert status["total_verses"] == 6236
+
+        rng = np.random.default_rng(0)
+        audio = (0.1 * rng.standard_normal(16000 * 3)).astype(np.float32)
+        # stream 300ms chunks
+        messages = []
+
+        for start in range(0, len(audio), 4800):
+            await sock.send_bytes(audio[start : start + 4800].tobytes())
+
+        async def read_until_match():
+            while True:
+                msg = await sock.receive()
+                if msg.is_text:
+                    m = json.loads(msg.text)
+                    messages.append(m)
+                    if m["type"] == "verse_match":
+                        return m
+
+        m = await asyncio.wait_for(read_until_match(), timeout=30)
+        assert (m["surah"], m["ayah"]) == (112, 1)
+        assert m["confidence"] >= 0.99
+        assert any(v["is_current"] for v in m["surrounding_verses"])
+
+        await sock.close()
+        srv.close()
+        await srv.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_ws_binary_frames_and_close(db):
+    async def scenario():
+        server = RecitationServer(lambda a: "", db=db)
+        srv = await wslib.serve(server.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        sock = await wslib.connect("127.0.0.1", port)
+        # silence → no messages; close cleanly
+        await sock.send_bytes(np.zeros(4800, dtype=np.float32).tobytes())
+        await sock.close()
+        srv.close()
+        await srv.wait_closed()
+
+    asyncio.run(scenario())

@@ -27,13 +27,11 @@ import numpy as np
 from tilawa_tpu.data.assets import BLANK_ID
 from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCTC
 
-# Audio-sample bucket ladder: ~2s to ~120s at 16 kHz, ~1.3x steps.
-AUDIO_BUCKETS = tuple(
-    int(x) for x in (
-        32000, 48000, 64000, 96000, 128000, 192000, 256000,
-        384000, 512000, 768000, 1024000, 1536000, 1920000,
-    )
-)
+# Audio-sample bucket ladder: 4s to 120s at 16 kHz, power-of-two steps.
+# Coarse on purpose: each bucket is one ~100s remote compile of the full
+# encoder, and compiled programs don't persist across processes on the
+# tunneled backend — fewer buckets keeps warmup practical.
+AUDIO_BUCKETS = (64000, 128000, 256000, 512000, 1024000, 1920000)
 
 
 def bucket_length(n: int, buckets: tuple[int, ...] = AUDIO_BUCKETS) -> int:
@@ -55,7 +53,10 @@ class EncoderRuntime:
         self.config = config or FastConformerConfig.large()
         self.model = FastConformerCTC(self.config)
         if variables is None:
-            variables = self.model.init(
+            # jit the init: unjitted flax init dispatches eagerly op-by-op,
+            # which over the tunneled-TPU backend means one network
+            # round-trip per op.
+            variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(seed),
                 jnp.zeros((1, 32000), jnp.float32),
                 jnp.array([32000], jnp.int32),
