@@ -47,6 +47,8 @@ class FastConformerConfig:
     subsampling_factor: int = 8
     dropout: float = 0.1
     dtype: Any = jnp.float32
+    # lax.scan over the depth axis: one compiled block body for any depth.
+    scan_layers: bool = True
 
     @property
     def blank_id(self) -> int:
@@ -277,6 +279,23 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=cfg.dtype, name="final_ln")(x)
 
 
+class _ScanBlock(nn.Module):
+    """ConformerBlock wrapped as a scan body: (carry, _) -> (carry, None).
+
+    Stacking the depth axis under lax.scan means XLA compiles ONE block
+    body for any num_layers — compile time is depth-independent, which
+    matters when every program shape is a fresh remote compile."""
+
+    cfg: FastConformerConfig
+
+    @nn.compact
+    def __call__(self, x, _unused, mask, deterministic, use_running_average):
+        y = ConformerBlock(self.cfg, name="block")(
+            x, mask, deterministic, use_running_average
+        )
+        return y, None
+
+
 class FastConformerCTC(nn.Module):
     """Raw audio → CTC log-probs, end to end under one jit."""
 
@@ -298,10 +317,22 @@ class FastConformerCTC(nn.Module):
         mask = (jnp.arange(t)[None, :] < enc_lengths[:, None])[..., None]
 
         x = jnp.where(mask, x, 0.0)
-        for i in range(cfg.num_layers):
-            x = ConformerBlock(cfg, name=f"block_{i}")(
-                x, mask, deterministic, use_running_average
+        if cfg.scan_layers:
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=cfg.num_layers,
+            )(cfg, name="blocks")
+            x, _ = scanned(
+                x, None, mask, deterministic, use_running_average
             )
+        else:
+            for i in range(cfg.num_layers):
+                x = ConformerBlock(cfg, name=f"block_{i}")(
+                    x, mask, deterministic, use_running_average
+                )
 
         logits = nn.Dense(cfg.num_classes, dtype=cfg.dtype, name="ctc_head")(x)
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

@@ -23,22 +23,33 @@ from tilawa_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def param_spec(path: tuple[str, ...], ndim: int) -> P:
-    """PartitionSpec for one parameter, keyed by its flax path."""
+    """PartitionSpec for one parameter, keyed by its flax path.
+
+    Kernels stacked by nn.scan over the depth axis carry a leading layer
+    dim (rank 3); the model-axis position shifts right accordingly."""
     names = [p if isinstance(p, str) else getattr(p, "key", str(p)) for p in path]
     joined = "/".join(str(n) for n in names)
     if ndim < 2:
         return P()
+    lead = (None,) * (ndim - 2)  # scan-stacked layer axes, replicated
+
+    def col():  # output-dim sharded
+        return P(*lead, None, MODEL_AXIS)
+
+    def row():  # input-dim sharded
+        return P(*lead, MODEL_AXIS, None)
+
     # FFN pair
     if "Dense_0" in joined and ("ff1" in joined or "ff2" in joined):
-        return P(None, MODEL_AXIS)
+        return col()
     if "Dense_1" in joined and ("ff1" in joined or "ff2" in joined):
-        return P(MODEL_AXIS, None)
+        return row()
     # Attention projections
     if "attn" in joined:
         if any(f"/{k}/" in joined + "/" for k in ("q", "k", "v", "pos")):
-            return P(None, MODEL_AXIS)
+            return col()
         if "/out/" in joined + "/":
-            return P(MODEL_AXIS, None)
+            return row()
     return P()
 
 
