@@ -1,0 +1,122 @@
+"""Phoneme vocabulary + per-verse reference phonemes.
+
+The reference's phoneme pipeline uses a 69-token Buckwalter-style phoneme
+vocabulary with CTC blank at index 69 (reference:
+experiments/fastconformer-phoneme/run.py:43-55) and precomputed per-verse
+phoneme strings in data/quran_phonemes.json (built by
+scripts/precompute_quran_phonemes.py). This module is the framework-side
+store for both, plus CTC phoneme decode and mispronunciation detection
+(reference: fastconformer-phoneme/run.py:322-358).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+from tilawa_tpu.data.assets import default_asset_path
+from tilawa_tpu.text.phonemes import align_phoneme_strings, word_corrections
+
+
+class PhonemeStore:
+    """69-token phoneme vocab (+ blank) and 6,236 per-verse references."""
+
+    def __init__(
+        self,
+        vocab_path: str | Path | None = None,
+        refs_path: str | Path | None = None,
+    ):
+        vp = Path(vocab_path) if vocab_path else default_asset_path("phoneme_vocab.json")
+        with open(vp, encoding="utf-8") as f:
+            raw = json.load(f)
+        size = max(int(k) for k in raw) + 1
+        self.vocab: list[str] = [""] * size
+        for k, v in raw.items():
+            self.vocab[int(k)] = v
+        # Blank is the last index when the dump includes it, else appended
+        # (run.py:55: BLANK_ID = len(PHONEME_VOCAB)).
+        self.blank_id = size - 1 if self.vocab[-1] in ("", "<blank>", "<b>") else size
+        self.num_classes = self.blank_id + 1
+
+        rp = Path(refs_path) if refs_path else default_asset_path("quran_phonemes.json")
+        with open(rp, encoding="utf-8") as f:
+            rows = json.load(f)
+        self.refs: dict[tuple[int, int], str] = {
+            (int(r["surah"]), int(r["ayah"])): r["phonemes"] for r in rows
+        }
+
+    @classmethod
+    @lru_cache(maxsize=1)
+    def load_default(cls) -> "PhonemeStore":
+        return cls()
+
+    # ------------------------------------------------------------- lookups
+
+    def reference_phonemes(self, surah: int, ayah: int, ayah_end: int | None = None) -> str:
+        """Per-verse reference string; spans join verse strings with `|`."""
+        if ayah_end is None or ayah_end <= ayah:
+            return self.refs.get((surah, ayah), "")
+        parts = [self.refs.get((surah, a), "") for a in range(ayah, ayah_end + 1)]
+        return " | ".join(p for p in parts if p)
+
+    # -------------------------------------------------------------- decode
+
+    def decode_ids(self, ids: list[int] | np.ndarray) -> str:
+        """CTC-collapsed ids → space-joined phoneme string (run.py:293-314)."""
+        out: list[str] = []
+        prev = -1
+        for idx in np.asarray(ids, dtype=np.int64):
+            idx = int(idx)
+            if idx != prev and idx != self.blank_id and 0 <= idx < len(self.vocab):
+                out.append(self.vocab[idx])
+            prev = idx
+        return " ".join(out)
+
+    def decode_logprobs(self, log_probs: np.ndarray, t_valid: int | None = None) -> str:
+        lp = np.asarray(log_probs)
+        if t_valid is not None:
+            lp = lp[:t_valid]
+        return self.decode_ids(lp.argmax(axis=-1))
+
+    # --------------------------------------------------- mispronunciations
+
+    def detect_mispronunciations(
+        self,
+        predicted_phonemes: str,
+        surah: int,
+        ayah: int,
+        ayah_end: int | None = None,
+        max_word_index: int | None = None,
+    ) -> dict:
+        """Compare a predicted phoneme string against the verse reference.
+
+        Returns predicted/reference strings, per-position errors, PER, and
+        word-level corrections (reference: fastconformer-phoneme/run.py:322-358
+        + lib/correction.ts:20-91 combined in one report).
+        """
+        reference = self.reference_phonemes(surah, ayah, ayah_end)
+        if not reference:
+            return {
+                "predicted_phonemes": predicted_phonemes,
+                "reference_phonemes": "",
+                "errors": [],
+                "per": 0.0,
+                "corrections": [],
+                "error": f"No reference phonemes for surah {surah}, ayah {ayah}",
+            }
+        alignment = align_phoneme_strings(
+            predicted_phonemes.replace(" | ", " "), reference.replace(" | ", " ")
+        )
+        return {
+            "predicted_phonemes": predicted_phonemes,
+            "reference_phonemes": reference,
+            "errors": [e.to_dict() for e in alignment.errors],
+            "per": alignment.per,
+            "correct_rate": alignment.correct_rate,
+            "corrections": word_corrections(
+                predicted_phonemes, reference, max_word_index
+            ),
+        }
