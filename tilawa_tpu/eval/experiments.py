@@ -43,10 +43,12 @@ def get_experiment(name: str):
     return _CACHE[name]
 
 
-def _load_runtime():
+def _load_runtime(quant: str | None = None):
     """FastConformer runtime with trained weights when a checkpoint exists,
-    random init otherwise (latency/throughput numbers are weight-agnostic)."""
-    import jax
+    random init otherwise (latency/throughput numbers are weight-agnostic).
+    quant="int4" loads/derives packed weights (the reference's "mixed"
+    88 MB export; c2c-direct-mixed/run.py:37-52)."""
+    import dataclasses
 
     from tilawa_tpu.models.fastconformer import FastConformerConfig
     from tilawa_tpu.pipeline.runtime import EncoderRuntime
@@ -55,14 +57,28 @@ def _load_runtime():
     ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
+        if quant and config.quant != quant:
+            from tilawa_tpu.train.quantize import quantize_variables, quantized_config
+
+            variables = quantize_variables(variables)
+            config = quantized_config(config)
         return EncoderRuntime(config, variables)
-    return EncoderRuntime(FastConformerConfig.large())
+    config = FastConformerConfig.large()
+    if quant:
+        config = dataclasses.replace(config, quant=quant)
+    return EncoderRuntime(config)
 
 
-def _make_recognizer(tta: bool):
+def _make_recognizer(tta: bool, quant: str | None = "int4"):
     from tilawa_tpu.pipeline.predict import Recognizer
 
-    return Recognizer(_load_runtime(), tta=tta)
+    return Recognizer(_load_runtime(quant=quant), tta=tta)
+
+
+@register("c2c-direct")
+def _c2c_direct():
+    """Full-precision reference algorithm (reference: c2c-direct/run.py)."""
+    return _make_recognizer(tta=False, quant=None)
 
 
 @register("c2c-direct-mixed")

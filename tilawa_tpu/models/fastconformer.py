@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tilawa_tpu.ops.frontend import log_mel_spectrogram
+from tilawa_tpu.ops.quant import INT4_BLOCK, int4_matmul, int4_matmul_xla
 
 Dtype = Any
 
@@ -49,6 +50,13 @@ class FastConformerConfig:
     dtype: Any = jnp.float32
     # lax.scan over the depth axis: one compiled block body for any depth.
     scan_layers: bool = True
+    # Weight quantization for every Dense/matmul: None (fp) or "int4"
+    # (packed-in-HBM, dequant-in-kernel — the reference's MatMulNBits
+    # analogue; reference: experiments/c2c-direct-mixed/run.py:6-8).
+    quant: str | None = None
+    # Pallas kernels where available; False falls back to pure-XLA math
+    # (CPU tests, virtual device meshes).
+    use_pallas: bool = True
 
     @property
     def blank_id(self) -> int:
@@ -121,6 +129,55 @@ class MaskedBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class Int4Dense(nn.Module):
+    """Dense over packed int4 weights, dequantized inside the matmul kernel.
+
+    Parameters: `packed` uint8 [K//2, N] (split-half nibble layout),
+    `scales` f32 [K/INT4_BLOCK, N], optional `bias`. Random init draws a
+    lecun-normal fp kernel's statistics directly in packed space so
+    latency benchmarks run the true compute path without a converted
+    checkpoint; real weights come from train.quantize.quantize_variables.
+    """
+
+    features: int
+    cfg: FastConformerConfig
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = x.shape[-1]
+        if k % 2:
+            raise ValueError(f"int4 dense needs even fan-in, got {k}")
+        kb = -(-k // INT4_BLOCK)
+
+        def init_packed(rng, shape, _dtype):
+            return jax.random.randint(rng, shape, 0, 256, dtype=jnp.uint8)
+
+        def init_scales(rng, shape, _dtype):
+            # |q| <= 7; match lecun-normal std 1/sqrt(K): scale = 1/(7*sqrt(K))
+            return jnp.full(shape, 1.0 / (7.0 * np.sqrt(k)), jnp.float32)
+
+        packed = self.param("packed", init_packed, (k // 2, self.features), jnp.uint8)
+        scales = self.param("scales", init_scales, (kb, self.features), jnp.float32)
+        matmul = int4_matmul if self.cfg.use_pallas else int4_matmul_xla
+        y = matmul(x, packed, scales).astype(self.cfg.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(self.cfg.dtype)
+        return y
+
+
+def make_dense(cfg: FastConformerConfig, features: int, name: str,
+               use_bias: bool = True):
+    """Dense factory: fp nn.Dense or Int4Dense per cfg.quant, same param path."""
+    if cfg.quant == "int4":
+        return Int4Dense(features, cfg=cfg, use_bias=use_bias, name=name)
+    if cfg.quant is not None:
+        raise ValueError(f"unknown quant mode {cfg.quant!r}")
+    return nn.Dense(features, dtype=cfg.dtype, use_bias=use_bias, name=name)
+
+
 def _stride2_len(length):
     return (length - 1) // 2 + 1
 
@@ -164,7 +221,7 @@ class ConvSubsampling(nn.Module):
             h = time_mask(h, lens)
         b, t, f, _ = h.shape
         h = h.reshape(b, t, f * ch)
-        return nn.Dense(cfg.d_model, dtype=cfg.dtype, name="proj")(h)
+        return make_dense(cfg, cfg.d_model, "proj")(h)
 
 
 class FeedForward(nn.Module):
@@ -174,10 +231,10 @@ class FeedForward(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
         cfg = self.cfg
         h = nn.LayerNorm(dtype=cfg.dtype)(x)
-        h = nn.Dense(cfg.d_model * cfg.ff_expansion, dtype=cfg.dtype)(h)
+        h = make_dense(cfg, cfg.d_model * cfg.ff_expansion, "lin1")(h)
         h = nn.silu(h)
         h = nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
-        h = nn.Dense(cfg.d_model, dtype=cfg.dtype)(h)
+        h = make_dense(cfg, cfg.d_model, "lin2")(h)
         return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
 
 
@@ -206,12 +263,12 @@ class RelPosSelfAttention(nn.Module):
         b, t, d = x.shape
         h, dh = cfg.num_heads, d // cfg.num_heads
 
-        q = nn.Dense(d, dtype=cfg.dtype, name="q")(x).reshape(b, t, h, dh)
-        k = nn.Dense(d, dtype=cfg.dtype, name="k")(x).reshape(b, t, h, dh)
-        v = nn.Dense(d, dtype=cfg.dtype, name="v")(x).reshape(b, t, h, dh)
+        q = make_dense(cfg, d, "q")(x).reshape(b, t, h, dh)
+        k = make_dense(cfg, d, "k")(x).reshape(b, t, h, dh)
+        v = make_dense(cfg, d, "v")(x).reshape(b, t, h, dh)
 
         pos = jnp.asarray(rel_positional_encoding(t, d), dtype=cfg.dtype)
-        p = nn.Dense(d, use_bias=False, dtype=cfg.dtype, name="pos")(pos)
+        p = make_dense(cfg, d, "pos", use_bias=False)(pos)
         p = p.reshape(2 * t - 1, h, dh)
 
         bias_u = self.param("bias_u", nn.initializers.zeros, (h, dh), jnp.float32)
@@ -237,7 +294,7 @@ class RelPosSelfAttention(nn.Module):
         attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(cfg.dtype)
         attn = nn.Dropout(cfg.dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(b, t, d)
-        return nn.Dense(d, dtype=cfg.dtype, name="out")(out)
+        return make_dense(cfg, d, "out")(out)
 
 
 class ConvModule(nn.Module):
@@ -251,7 +308,7 @@ class ConvModule(nn.Module):
         cfg = self.cfg
         d = cfg.d_model
         h = nn.LayerNorm(dtype=cfg.dtype)(x)
-        h = nn.Dense(2 * d, dtype=cfg.dtype, name="pw1")(h)
+        h = make_dense(cfg, 2 * d, "pw1")(h)
         h = nn.glu(h, axis=-1)
         h = jnp.where(mask, h, 0.0)  # keep padded frames out of the conv taps
         pad = (cfg.conv_kernel - 1) // 2
@@ -263,7 +320,7 @@ class ConvModule(nn.Module):
             use_running_average=use_running_average, dtype=cfg.dtype, name="bn"
         )(h, mask)
         h = nn.silu(h)
-        h = nn.Dense(d, dtype=cfg.dtype, name="pw2")(h)
+        h = make_dense(cfg, d, "pw2")(h)
         return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
 
 
@@ -342,7 +399,7 @@ class FastConformerCTC(nn.Module):
                     x, mask, deterministic, use_running_average
                 )
 
-        logits = nn.Dense(cfg.num_classes, dtype=cfg.dtype, name="ctc_head")(x)
+        logits = make_dense(cfg, cfg.num_classes, "ctc_head")(x)
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return log_probs, enc_lengths.astype(jnp.int32)
 

@@ -39,10 +39,10 @@ def param_spec(path: tuple[str, ...], ndim: int) -> P:
     def row():  # input-dim sharded
         return P(*lead, MODEL_AXIS, None)
 
-    # FFN pair
-    if "Dense_0" in joined and ("ff1" in joined or "ff2" in joined):
+    # FFN pair (explicitly named lin1/lin2 in FeedForward)
+    if "lin1" in joined and ("ff1" in joined or "ff2" in joined):
         return col()
-    if "Dense_1" in joined and ("ff1" in joined or "ff2" in joined):
+    if "lin2" in joined and ("ff1" in joined or "ff2" in joined):
         return row()
     # Attention projections
     if "attn" in joined:

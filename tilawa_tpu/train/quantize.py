@@ -1,0 +1,80 @@
+"""Post-training quantization: fp checkpoint → packed int4 variables.
+
+The converter role of the reference's export tooling (reference:
+experiments/c2c-direct-mixed/run.py:6-8 MatMulNBitsQuantizer int4 +
+quantize_dynamic QInt8; scripts/export_onnx.py). Walks a trained fp
+parameter tree and replaces every eligible Dense kernel with the packed
+int4 representation consumed by models.fastconformer.Int4Dense; the
+resulting variables load into a model built with cfg.quant="int4"
+(identical module paths — only the leaf params change).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tilawa_tpu.models.fastconformer import FastConformerConfig
+from tilawa_tpu.ops.quant import INT4_BLOCK, pack_int4
+
+# Module names whose `kernel` is a matmul weight (rank-2, or rank-3 when
+# scan-stacked over layers). Convs/LayerNorms are not in this set.
+ELIGIBLE_DENSE = {
+    "lin1", "lin2",          # feed-forward pair
+    "q", "k", "v", "pos", "out",  # attention projections
+    "pw1", "pw2",            # conv-module pointwise matmuls
+    "proj",                  # subsampling output projection
+    "ctc_head",
+}
+
+
+def _pack_kernel(kern: np.ndarray, block: int) -> tuple[np.ndarray, np.ndarray]:
+    if kern.ndim == 2:
+        return pack_int4(kern, block)
+    # scan-stacked [L, K, N]: pack each layer slice
+    packed, scales = zip(*(pack_int4(kern[i], block) for i in range(kern.shape[0])))
+    return np.stack(packed), np.stack(scales)
+
+
+def quantize_params(params: dict, block: int = INT4_BLOCK) -> dict:
+    out = {}
+    for name, sub in params.items():
+        if (
+            name in ELIGIBLE_DENSE
+            and isinstance(sub, dict)
+            and "kernel" in sub
+        ):
+            packed, scales = _pack_kernel(np.asarray(sub["kernel"]), block)
+            entry = {"packed": jnp.asarray(packed), "scales": jnp.asarray(scales)}
+            if "bias" in sub:
+                entry["bias"] = sub["bias"]
+            out[name] = entry
+        elif isinstance(sub, dict):
+            out[name] = quantize_params(sub, block)
+        else:
+            out[name] = sub
+    return out
+
+
+def quantize_variables(variables: dict, block: int = INT4_BLOCK) -> dict:
+    new = dict(variables)
+    new["params"] = quantize_params(dict(variables["params"]), block)
+    return new
+
+
+def quantized_config(config: FastConformerConfig, **overrides) -> FastConformerConfig:
+    return dataclasses.replace(config, quant="int4", **overrides)
+
+
+def packed_size_bytes(variables: dict) -> int:
+    """Total serialized parameter bytes (the reference tracks model_size();
+    README.md:189 — 88 MB for the mixed export)."""
+    import jax
+
+    return sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree_util.tree_leaves(variables)
+        if hasattr(leaf, "dtype")
+    )
