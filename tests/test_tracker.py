@@ -1,0 +1,321 @@
+"""RecitationTracker behavior on a mocked transcribe backend.
+
+The reference drives its tracker deterministically with mocked transcribe
+functions and handcrafted fixtures (reference:
+web/frontend/test/tracker-deferred.test.ts:1-17); these tests do the same:
+scripted TranscribeResults, real QuranDB, no model.
+"""
+
+import numpy as np
+import pytest
+
+from tilawa_tpu.data.quran import QuranDB
+from tilawa_tpu.data.token_store import TokenStore
+from tilawa_tpu.streaming.config import (
+    AGGRESSIVE_ADVANCE,
+    BALANCED,
+    CONSERVATIVE,
+    STREAMING_PRESETS,
+    StreamingConfig,
+    hypothesis_params_from_env,
+    normalize_streaming_config,
+)
+from tilawa_tpu.streaming.tracker import (
+    RecitationTracker,
+    StreamingHypothesis,
+    TranscribeResult,
+    align_position,
+    has_strong_pending_prefix_evidence,
+)
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def db():
+    return QuranDB()
+
+
+@pytest.fixture(scope="module")
+def token_store():
+    return TokenStore.load_default()
+
+
+def scripted_backend(texts):
+    """transcribe() that returns the scripted texts in order (last repeats)."""
+    state = {"i": 0}
+
+    def transcribe(audio):
+        i = min(state["i"], len(texts) - 1)
+        state["i"] += 1
+        t = texts[i]
+        return TranscribeResult(text=t, token_ids=list(range(len(t.split()) * 2)))
+
+    return transcribe
+
+
+def speech(seconds):
+    rng = np.random.default_rng(0)
+    return (rng.standard_normal(int(SR * seconds)) * 0.1).astype(np.float32)
+
+
+def silence(seconds):
+    return np.zeros(int(SR * seconds), dtype=np.float32)
+
+
+class TestConfig:
+    def test_presets_exist(self):
+        assert set(STREAMING_PRESETS) >= {"conservative", "balanced", "aggressiveAdvance"}
+        assert BALANCED.tracking_trigger_sec == 0.25
+        assert BALANCED.next_verse_emit_mode == "candidate_until_confirmed"
+        assert CONSERVATIVE.next_verse_emit_mode == "deferred_confirm"
+        assert AGGRESSIVE_ADVANCE.discovery_repeat_cycles == 1
+
+    def test_normalize_clamps(self):
+        cfg = normalize_streaming_config(
+            {"audio_chunk_ms": 5, "lookahead_words": 99, "stale_cycle_limit": 0.2}
+        )
+        assert cfg.audio_chunk_ms == 100
+        assert cfg.lookahead_words == 15
+        assert cfg.stale_cycle_limit == 1
+
+    def test_normalize_bad_emit_mode_falls_back(self):
+        cfg = normalize_streaming_config({"next_verse_emit_mode": "bogus"})
+        assert cfg.next_verse_emit_mode == BALANCED.next_verse_emit_mode
+
+    def test_normalize_ignores_unknown_keys(self):
+        cfg = normalize_streaming_config({"not_a_knob": 42})
+        assert cfg == BALANCED
+
+    def test_hypothesis_env_override(self, monkeypatch):
+        monkeypatch.setenv("STREAMING_HYPOTHESIS_NEXT_AYAH", "0.9")
+        assert hypothesis_params_from_env().next_ayah == 0.9
+
+
+class TestAlignPosition:
+    def test_exact_sequence(self):
+        pos, matched = align_position(["a1", "b2", "c3"], ["a1", "b2", "c3", "d4"])
+        assert pos == 3 and matched == [0, 1, 2]
+
+    def test_lookahead_skips(self):
+        pos, matched = align_position(["c3"], ["a1", "b2", "c3", "d4"], 0, 5)
+        assert matched == [2]
+
+    def test_lookahead_bound(self):
+        pos, matched = align_position(["f6"], ["a1", "b2", "c3", "d4", "e5", "f6"], 0, 3)
+        assert matched == []
+
+    def test_resume_from(self):
+        pos, matched = align_position(["d4"], ["a1", "b2", "c3", "d4"], 2, 5)
+        assert matched == [3]
+
+
+class TestPrefixEvidence:
+    def test_short_verse_needs_first_word(self):
+        assert has_strong_pending_prefix_evidence([0], 3)
+        assert not has_strong_pending_prefix_evidence([1], 3)
+
+    def test_long_verse_needs_two_or_depth(self):
+        assert has_strong_pending_prefix_evidence([0, 1], 10)
+        assert has_strong_pending_prefix_evidence([1, 5], 10)
+        assert not has_strong_pending_prefix_evidence([3], 10)
+        assert not has_strong_pending_prefix_evidence([], 10)
+
+
+class TestStreamingHypothesis:
+    def _cand(self, surah, ayah, conf, ayah_end=None):
+        return {"surah": surah, "ayah": ayah, "ayah_end": ayah_end,
+                "confidence": conf}
+
+    def test_continuation_beats_jump(self):
+        h = StreamingHypothesis()
+        h.observe_candidates({"candidates": [self._cand(1, 1, 0.8),
+                                             self._cand(50, 9, 0.8)]})
+        h.observe_candidates({"candidates": [self._cand(1, 2, 0.8),
+                                             self._cand(90, 3, 0.8)]})
+        out = h.finalize()
+        refs = [(v["surah"], v["ayah"]) for v in out["verses"]]
+        assert refs == [(1, 1), (1, 2)]
+
+    def test_span_expansion(self):
+        h = StreamingHypothesis()
+        h.observe_candidates({"candidates": [self._cand(112, 1, 0.9, ayah_end=3)]})
+        out = h.finalize()
+        refs = [(v["surah"], v["ayah"]) for v in out["verses"]]
+        assert refs == [(112, 1), (112, 2), (112, 3)]
+
+    def test_fallback_to_commits(self):
+        h = StreamingHypothesis()
+        h.observe_commit({"surah": 2, "ayah": 255, "confidence": 0.9})
+        out = h.finalize()
+        assert [(v["surah"], v["ayah"]) for v in out["verses"]] == [(2, 255)]
+
+    def test_empty(self):
+        assert StreamingHypothesis().finalize() is None
+
+
+def _tracker(db, token_store, texts, config=None, **kw):
+    return RecitationTracker(
+        scripted_backend(texts), db=db, token_store=token_store,
+        config=config or CONSERVATIVE, **kw
+    )
+
+
+class TestDiscovery:
+    def test_repeated_leader_commit(self, db, token_store):
+        verse = db.get_verse(1, 1)
+        tr = _tracker(db, token_store, [verse["text_clean"]] * 4)
+        msgs = tr.feed(speech(2.1))       # cycle 1: leader count 1
+        assert not any(m["type"] == "verse_match" for m in msgs)
+        msgs = tr.feed(speech(2.1))       # cycle 2: repeated leader commit
+        matches = [m for m in msgs if m["type"] == "verse_match"]
+        assert matches and (matches[0]["surah"], matches[0]["ayah"]) == (1, 1)
+        assert tr.in_tracking
+
+    def test_verse_candidate_stream_emitted(self, db, token_store):
+        verse = db.get_verse(1, 1)
+        tr = _tracker(db, token_store, [verse["text_clean"]] * 2)
+        msgs = tr.feed(speech(2.1))
+        cands = [m for m in msgs if m["type"] == "verse_candidate"]
+        assert cands and cands[0]["candidates"][0]["surah"] == 1
+
+    def test_raw_transcript_below_threshold(self, db, token_store):
+        tr = _tracker(db, token_store, ["كلمات غير موجودة ابدا هنا"] * 2)
+        msgs = tr.feed(speech(2.1))
+        assert any(m["type"] == "raw_transcript" for m in msgs)
+        assert not any(m["type"] == "verse_match" for m in msgs)
+
+    def test_silence_never_triggers(self, db, token_store):
+        tr = _tracker(db, token_store, ["anything"])
+        assert tr.feed(silence(3.0)) == []
+
+    def test_decode_stability_gate_blocks_unstable(self, db, token_store):
+        # Two wildly different decodes in consecutive cycles — even with a
+        # perfect text score the single-cycle path must not commit on cycle 1.
+        v1 = db.get_verse(1, 1)["text_clean"]
+        tr = _tracker(
+            db, token_store, [v1, v1],
+            config=normalize_streaming_config(
+                {"discovery_repeat_cycles": 5}, base=CONSERVATIVE
+            ),
+        )
+        msgs = tr.feed(speech(2.1))
+        assert not any(m["type"] == "verse_match" for m in msgs)
+
+    def test_final_flush_commits_and_final_sequence(self, db, token_store):
+        verse = db.get_verse(1, 1)
+        tr = _tracker(db, token_store, [verse["text_clean"]] * 3)
+        tr.feed(speech(2.1))
+        # long silence → final flush commit path + final_sequence
+        msgs = tr.feed(silence(1.5))
+        types = [m["type"] for m in msgs]
+        assert "verse_match" in types
+        assert "final_sequence" in types
+
+    def test_diagnostics_emitted(self, db, token_store):
+        events = []
+        verse = db.get_verse(1, 1)
+        tr = _tracker(db, token_store, [verse["text_clean"]] * 3,
+                      on_diagnostic=events.append)
+        tr.feed(speech(2.1))
+        tr.feed(speech(2.1))
+        kinds = {e["type"] for e in events}
+        assert "discovery_cycle" in kinds
+        assert "commit" in kinds
+
+
+class TestTracking:
+    def _enter_tracking(self, db, token_store, surah, ayah, texts):
+        verse = db.get_verse(surah, ayah)
+        tr = _tracker(db, token_store, [verse["text_clean"]] * 2 + texts)
+        tr.feed(speech(2.1))
+        tr.feed(speech(2.1))
+        assert tr.in_tracking
+        return tr, verse
+
+    def test_word_progress(self, db, token_store):
+        # track a longer verse: feed its first words
+        verse = db.get_verse(2, 255)
+        words = verse["text_clean"].split()
+        tr, _ = self._enter_tracking(
+            db, token_store, 2, 255, [" ".join(words[:3])]
+        )
+        msgs = tr.feed(speech(0.6))
+        prog = [m for m in msgs if m["type"] == "word_progress"]
+        assert prog and prog[0]["word_index"] >= 3
+
+    def test_stale_exit_after_limit(self, db, token_store):
+        tr, _ = self._enter_tracking(
+            db, token_store, 2, 255, ["كلمات اخرى تماما"] * 8
+        )
+        for _ in range(6):
+            tr.feed(speech(0.6))
+        assert not tr.in_tracking
+
+    def test_completion_arms_pending_and_advances(self, db, token_store):
+        verse = db.get_verse(112, 1)  # short verse (4 words)
+        full = verse["text_clean"]
+        tr, _ = self._enter_tracking(db, token_store, 112, 1, [full] * 2)
+        msgs = tr.feed(speech(0.6))
+        # final word reached → advance armed, tracking moved to 112:2
+        assert tr.in_tracking
+        assert tr.tracking_verse["ayah"] == 2
+        assert tr.tracking_pending_emission
+        # no verse_match for 112:2 yet (deferred_confirm mode)
+        assert not any(
+            m["type"] == "verse_match" and m["ayah"] == 2 for m in msgs
+        )
+
+    def test_pending_confirms_on_fresh_prefix(self, db, token_store):
+        v2 = db.get_verse(112, 2)["text_clean"]
+        full = db.get_verse(112, 1)["text_clean"]
+        tr, _ = self._enter_tracking(
+            db, token_store, 112, 1, [full, " ".join(v2.split()[:2])]
+        )
+        tr.feed(speech(0.6))            # arms pending for 112:2
+        msgs = tr.feed(speech(0.6))     # fresh audio matches 112:2 prefix
+        assert any(
+            m["type"] == "verse_match" and m["ayah"] == 2 for m in msgs
+        )
+        # 112:2 is only 2 words, so confirming it also reaches its final
+        # word — a NEW pending advance for 112:3 is armed in the same cycle.
+        if tr.tracking_pending_emission:
+            assert tr.pending_emission_message["ayah"] == 3
+
+    def test_pending_dropped_rolls_back(self, db, token_store):
+        full = db.get_verse(112, 1)["text_clean"]
+        tr, _ = self._enter_tracking(
+            db, token_store, 112, 1, [full] + ["كلمات اخرى تماما"] * 8
+        )
+        tr.feed(speech(0.6))            # arms pending for 112:2
+        assert tr.last_emitted_ref == (112, 2)
+        for _ in range(6):              # stale cycles → drop + rollback
+            tr.feed(speech(0.6))
+        assert not tr.in_tracking
+        assert tr.last_emitted_ref == (112, 1)
+
+    def test_immediate_emit_mode(self, db, token_store):
+        cfg = normalize_streaming_config(
+            {"next_verse_emit_mode": "immediate_on_completion"},
+            base=CONSERVATIVE,
+        )
+        verse = db.get_verse(112, 1)
+        full = verse["text_clean"]
+        tr = RecitationTracker(
+            scripted_backend([full] * 3), db=db, token_store=token_store,
+            config=cfg,
+        )
+        tr.feed(speech(2.1))
+        tr.feed(speech(2.1))
+        assert tr.in_tracking
+        msgs = tr.feed(speech(0.6))
+        assert any(m["type"] == "verse_match" and m["ayah"] == 2 for m in msgs)
+
+    def test_reset(self, db, token_store):
+        tr, _ = self._enter_tracking(
+            db, token_store, 112, 1, [db.get_verse(112, 1)["text_clean"]]
+        )
+        tr.reset()
+        assert not tr.in_tracking
+        assert tr.last_emitted_ref is None
+        assert len(tr.utterance_audio) == 0

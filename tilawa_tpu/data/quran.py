@@ -239,14 +239,19 @@ class QuranDB:
                 bonuses[(nv["surah"], nv["ayah"])] = _CONT_BONUSES[i]
         return bonuses
 
-    def _batch_fragment_scores(self, text: str) -> np.ndarray:
+    def _batch_fragment_scores(
+        self, text: str, top_k: int | None = None
+    ) -> np.ndarray:
         """max over {text_clean, text_clean_alt} of the fragment-blended
         ratio, for every verse, via batched native scans.
 
         partial_ratio is computed only where it can change the result: the
         blend max(full, 0.25*full + 0.75*frag*penalty) with frag <= 1 can
         only beat `full` when penalty > full — an exact bound that prunes
-        the expensive windowed scan to a handful of verses."""
+        the expensive windowed scan. When `top_k` is given, rows whose
+        optimistic bound (frag = 1) cannot beat the k-th best cheap score
+        are skipped too — exact for top-k selection, since at least k rows
+        already score >= that floor without the fragment term."""
         r_clean = self._corpus_clean.batch_ratio(text)
         r_alt = self._corpus_alt.batch_ratio(text)
         nq = len(text.split())
@@ -254,8 +259,19 @@ class QuranDB:
         if nq >= 4:
             penalty = np.minimum(1.0, self._word_counts / max(nq, 1))
             penalty_alt = np.minimum(1.0, self._word_counts_alt / max(nq, 1))
-            need_c = np.nonzero((penalty > r_clean) & (self._word_counts >= 2))[0]
-            need_a = np.nonzero((penalty_alt > r_alt) & (self._word_counts_alt >= 2))[0]
+            need_mask_c = (penalty > r_clean) & (self._word_counts >= 2)
+            need_mask_a = (penalty_alt > r_alt) & (self._word_counts_alt >= 2)
+            if top_k is not None:
+                cheap = np.maximum(r_clean, r_alt)
+                k = min(max(top_k, 1), len(cheap))
+                floor = float(np.partition(cheap, -k)[-k]) - 1e-9
+                # optimistic blend with frag = 1
+                bound_c = 0.25 * r_clean + 0.75 * penalty
+                bound_a = 0.25 * r_alt + 0.75 * penalty_alt
+                need_mask_c &= bound_c > floor
+                need_mask_a &= bound_a > floor
+            need_c = np.nonzero(need_mask_c)[0]
+            need_a = np.nonzero(need_mask_a)[0]
             p_clean = dict(
                 zip(
                     need_c.tolist(),
@@ -309,7 +325,7 @@ class QuranDB:
     def search(self, text: str, top_k: int = 5) -> list[dict]:
         """Full-corpus fragment-score scan, top-k verses."""
         text = normalize_arabic(text)
-        scores = self._batch_fragment_scores(text)
+        scores = self._batch_fragment_scores(text, top_k=top_k)
         order = np.argsort(-scores, kind="stable")[:top_k]
         return [
             {**self.verses[i], "score": float(scores[i]), "text": self.verses[i]["text_uthmani"]}

@@ -68,7 +68,11 @@ class FastConformerConfig:
 
     @classmethod
     def large(cls, **kw) -> "FastConformerConfig":
-        return cls(**kw)
+        """Production scale; bfloat16 compute — the MXU's native dtype.
+        The CTC head's log_softmax stays f32 regardless (see FastConformerCTC)."""
+        base = dict(dtype=jnp.bfloat16)
+        base.update(kw)
+        return cls(**base)
 
     @classmethod
     def phoneme(cls, **kw) -> "FastConformerConfig":

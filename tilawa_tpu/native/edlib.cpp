@@ -66,14 +66,26 @@ struct BitPattern {
   // mask rows: row 0 is the all-zero mask for chars absent from the pattern.
   std::vector<uint64_t> rows;
   std::unordered_map<uint32_t, int> index;
+  // Direct-address fast path: Arabic text spans a ~1.6K codepoint range, so
+  // a flat [lo, hi] table replaces the per-char hash lookup in the O(n*m)
+  // inner loop (the windowed partial_ratio scan hits mask_for ~windows*len
+  // times per corpus row).
+  std::vector<int32_t> flat;
+  uint32_t flat_lo = 0;
+  bool use_flat = false;
+  static constexpr uint32_t kMaxFlatRange = 8192;
 
   void build(const uint32_t* p, int m_) {
     m = m_;
     words = (m + 63) >> 6;
     rows.assign(static_cast<size_t>(words), 0);  // row 0: zeros
     index.clear();
+    use_flat = false;
+    uint32_t lo = ~0u, hi = 0;
     for (int i = 0; i < m; ++i) {
       const uint32_t c = p[i];
+      if (c < lo) lo = c;
+      if (c > hi) hi = c;
       auto it = index.find(c);
       int r;
       if (it == index.end()) {
@@ -85,11 +97,24 @@ struct BitPattern {
       }
       rows[static_cast<size_t>(r) * words + (i >> 6)] |= 1ULL << (i & 63);
     }
+    if (m > 0 && hi - lo < kMaxFlatRange) {
+      flat.assign(hi - lo + 1, 0);
+      for (const auto& kv : index) flat[kv.first - lo] = kv.second;
+      flat_lo = lo;
+      use_flat = true;
+    }
   }
 
   const uint64_t* mask_for(uint32_t c) const {
-    auto it = index.find(c);
-    return rows.data() + static_cast<size_t>(it == index.end() ? 0 : it->second) * words;
+    int r = 0;
+    if (use_flat) {
+      const uint32_t off = c - flat_lo;
+      if (off < flat.size()) r = flat[off];
+    } else {
+      auto it = index.find(c);
+      r = it == index.end() ? 0 : it->second;
+    }
+    return rows.data() + static_cast<size_t>(r) * words;
   }
 
   // LCS length between the pattern and text[0..n).
@@ -183,13 +208,64 @@ inline double bp_partial_ratio(const uint32_t* a, int m, const uint32_t* b,
   if (m > n) { std::swap(a, b); std::swap(m, n); }
   pat.build(a, m);
   const int windows = std::max(1, n - m + 1);
-  double best = 0.0;
-  for (int s = 0; s < windows; ++s) {
+
+  auto window_ratio = [&](int s) -> double {
     const int lcs = pat.lcs(b + s, std::min(m, n - s), v);
-    const double r = static_cast<double>(lcs) / m;  // (2m - (2m-2*lcs)) / 2m
+    return static_cast<double>(lcs) / m;  // (2m - (2m-2*lcs)) / 2m
+  };
+
+  // Exact pruned search: LCS against adjacent windows differs by at most 1
+  // per offset shift (Lipschitz in the offset), so a coarse pass with step
+  // `st` bounds every skipped offset o in (s0, s1) by
+  //   ratio(o) <= min(r0 + (o-s0)/m, r1 + (s1-o)/m),
+  // whose max over the open interval is (r0+r1)/2 + (s1-s0)/(2m). Intervals
+  // that can't beat the running best are skipped — identical result to the
+  // dense scan at ~step-fold fewer LCS evaluations.
+  const int step = std::max(1, m / 8);
+  if (windows <= 4 || step == 1) {
+    double best = 0.0;
+    for (int s = 0; s < windows; ++s) {
+      const double r = window_ratio(s);
+      if (r > best) {
+        best = r;
+        if (best >= 1.0) break;
+      }
+    }
+    return best;
+  }
+
+  std::vector<int> coarse_pos;
+  std::vector<double> coarse_val;
+  double best = 0.0;
+  for (int s = 0; s < windows; s += step) {
+    const double r = window_ratio(s);
+    coarse_pos.push_back(s);
+    coarse_val.push_back(r);
     if (r > best) {
       best = r;
-      if (best >= 1.0) break;
+      if (best >= 1.0) return best;
+    }
+  }
+  if (coarse_pos.back() != windows - 1) {
+    const double r = window_ratio(windows - 1);
+    coarse_pos.push_back(windows - 1);
+    coarse_val.push_back(r);
+    if (r > best) best = r;
+    if (best >= 1.0) return best;
+  }
+  const double inv_m = 1.0 / m;
+  for (size_t k = 0; k + 1 < coarse_pos.size(); ++k) {
+    const int s0 = coarse_pos[k], s1 = coarse_pos[k + 1];
+    if (s1 - s0 <= 1) continue;
+    const double bound =
+        0.5 * (coarse_val[k] + coarse_val[k + 1]) + 0.5 * (s1 - s0) * inv_m;
+    if (bound <= best + 1e-12) continue;
+    for (int s = s0 + 1; s < s1; ++s) {
+      const double r = window_ratio(s);
+      if (r > best) {
+        best = r;
+        if (best >= 1.0) return best;
+      }
     }
   }
   return best;

@@ -46,27 +46,47 @@ def make_span(db: QuranDB, surah: int, start: int, end: int) -> dict | None:
     }
 
 
-def build_candidates(
+_UNSET = object()
+
+
+def text_match(
     db: QuranDB,
     transcript: str,
     top_text: int = TOP_TEXT,
-    top_span_refs: int = TOP_SPAN_REFS,
     max_span: int = MAX_SPAN,
-) -> tuple[list[dict], dict | None]:
-    """Returns (candidates, base_text_match). `transcript` must already be
-    normalized."""
-    out: list[dict] = []
-    seen: set = set()
-    single_refs: list[tuple[int, int]] = []
-
-    # Pass 1: trigram-indexed match (may return a span).
-    base = db.match_verse(
+) -> dict | None:
+    """Pass 1 alone: the trigram-indexed text match whose score drives the
+    0.80 confidence gate. Exposed separately so predict() can skip the
+    expensive passes 2/3 + span enumeration entirely when the gate passes
+    (the reference always builds all candidates before gating,
+    c2c-direct/run.py:394-445 — same results, wasted work)."""
+    return db.match_verse(
         transcript,
         threshold=0.0,
         max_span=max_span,
         return_top_k=top_text,
         use_trigram_index=True,
     )
+
+
+def build_candidates(
+    db: QuranDB,
+    transcript: str,
+    top_text: int = TOP_TEXT,
+    top_span_refs: int = TOP_SPAN_REFS,
+    max_span: int = MAX_SPAN,
+    base: dict | None | object = _UNSET,
+) -> tuple[list[dict], dict | None]:
+    """Returns (candidates, base_text_match). `transcript` must already be
+    normalized. Pass `base` (from text_match) to reuse an existing pass-1
+    result."""
+    out: list[dict] = []
+    seen: set = set()
+    single_refs: list[tuple[int, int]] = []
+
+    # Pass 1: trigram-indexed match (may return a span).
+    if base is _UNSET:
+        base = text_match(db, transcript, top_text, max_span)
     if base:
         _add(out, seen, base)
         single_refs.append((base["surah"], base["ayah"]))

@@ -31,7 +31,7 @@ from tilawa_tpu.data.normalizer import normalize_arabic
 from tilawa_tpu.data.quran import QuranDB
 from tilawa_tpu.data.token_store import TokenStore
 from tilawa_tpu.ops.ctc import collapse_ctc
-from tilawa_tpu.pipeline.candidates import build_candidates
+from tilawa_tpu.pipeline.candidates import build_candidates, text_match
 from tilawa_tpu.pipeline.rerank import ctc_rerank
 
 FALLBACK_THRESHOLD = float(os.getenv("TILAWA_THRESHOLD", "0.80"))
@@ -88,12 +88,17 @@ class Recognizer:
         if not transcript.strip():
             return _empty("")
 
-        candidates, base = build_candidates(self.db, transcript)
+        base = text_match(self.db, transcript)
+        use_ctc = base is None or float(base.get("score", 0.0)) < FALLBACK_THRESHOLD
+        # The expensive retrieval passes only run when the rerank will
+        # consume them (identical results; the gate's decision depends on
+        # the pass-1 score alone).
+        candidates = (
+            build_candidates(self.db, transcript, base=base)[0] if use_ctc else []
+        )
         t2 = time.perf_counter()
         if not candidates and not base:
             return _empty(transcript)
-
-        use_ctc = base is None or float(base.get("score", 0.0)) < FALLBACK_THRESHOLD
         ranked = (
             ctc_rerank(log_probs, t_valid, candidates, self.token_store,
                        blank_id=self.runtime.blank_id)

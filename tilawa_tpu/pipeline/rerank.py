@@ -87,6 +87,30 @@ def _score_feasible(
     return out
 
 
+def score_token_lists(
+    log_probs: np.ndarray,
+    t_valid: int,
+    token_lists: list[list[int]],
+    blank_id: int = BLANK_ID,
+) -> np.ndarray:
+    """Length-normalized CTC forced-alignment NLL per token list; +inf for
+    empty/infeasible (2L+1 > T) entries. The raw scorer behind ctc_rerank,
+    exposed for streaming fusion ranking (reference: lib/ctc-rescore.ts:104
+    scoreCtcCandidates — same dispatch-bucketed batching on device)."""
+    out = np.full(len(token_lists), np.inf, dtype=np.float64)
+    feasible = [
+        i for i, ids in enumerate(token_lists)
+        if ids and 2 * len(ids) + 1 <= t_valid
+    ]
+    feasible.sort(key=lambda i: len(token_lists[i]))
+    if feasible:
+        lp_padded, t = pad_frames(np.asarray(log_probs[:t_valid], dtype=np.float32))
+        scores = _score_feasible(lp_padded, t, token_lists, feasible, blank_id)
+        for j, i in enumerate(feasible):
+            out[i] = scores[j]
+    return out
+
+
 def ctc_rerank(
     log_probs: np.ndarray,
     t_valid: int,
@@ -104,21 +128,7 @@ def ctc_rerank(
         return []
 
     token_lists = [token_store.ids_for_candidate(c) for c in candidates]
-    feasible_idx = [
-        i for i, ids in enumerate(token_lists)
-        if ids and 2 * len(ids) + 1 <= t_valid
-    ]
-    # Sort by token length so chunks are L-homogeneous.
-    feasible_idx.sort(key=lambda i: len(token_lists[i]))
-
-    scores = np.full(len(candidates), np.inf, dtype=np.float64)
-    if feasible_idx:
-        lp_padded, t = pad_frames(np.asarray(log_probs[:t_valid], dtype=np.float32))
-        scores_f = _score_feasible(
-            lp_padded, t, token_lists, feasible_idx, blank_id
-        )
-        for j, i in enumerate(feasible_idx):
-            scores[i] = scores_f[j]
+    scores = score_token_lists(log_probs, t_valid, token_lists, blank_id)
 
     for i, cand in enumerate(candidates):
         norm_loss = float(scores[i])

@@ -1,0 +1,193 @@
+"""Streaming configuration: typed knobs, presets, clamp validation.
+
+Parity with the reference's StreamingConfig surface (reference:
+web/frontend/src/lib/types.ts:126-312 — 24 runtime knobs, three presets
+conservative/balanced/aggressiveAdvance, and a clamp-validating
+normalizer applied to any partial override), plus the
+StreamingHypothesis transition parameters with their env-var overrides
+(reference: lib/tracker.ts:443-481, STREAMING_HYPOTHESIS_* vars).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+SAMPLE_RATE = 16000
+
+NEXT_VERSE_EMIT_MODES = (
+    "deferred_confirm",
+    "candidate_until_confirmed",
+    "immediate_on_completion",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    audio_chunk_ms: float = 300
+    discovery_trigger_sec: float = 2.0
+    tracking_trigger_sec: float = 0.5
+    discovery_max_window_sec: float = 30.0
+    tracking_max_window_sec: float = 30.0
+    tail_after_commit_sec: float = 2.0
+    tail_after_pending_advance_sec: float = 0.5
+    final_silence_sec: float = 1.2
+    silence_rms_threshold: float = 0.005
+    first_match_threshold: float = 0.75
+    verse_match_threshold: float = 0.45
+    discovery_repeat_cycles: int = 2
+    acoustic_clear_margin: float = 0.12
+    acoustic_continuation_margin: float = 0.08
+    decode_stability_enabled: bool = True
+    decode_stability_ratio: float = 0.70
+    non_continuation_jump_threshold: float = 0.65
+    next_verse_emit_mode: str = "deferred_confirm"
+    tracking_completion_coverage: float = 0.95
+    tracking_prefix_tolerance: float = 0.12
+    lookahead_words: int = 5
+    stale_cycle_limit: int = 4
+    tracking_silence_timeout_sec: float = 4.0
+    advance_relative_margin: float = 3.0
+    advance_prefix_tokens: int = 15
+    advance_flush_strict_margin: float = 0.5
+
+    def samples(self, seconds: float) -> int:
+        return max(1, round(SAMPLE_RATE * seconds))
+
+
+CONSERVATIVE = StreamingConfig()
+
+BALANCED = dataclasses.replace(
+    CONSERVATIVE,
+    audio_chunk_ms=150,
+    tracking_trigger_sec=0.25,
+    tracking_max_window_sec=12,
+    tail_after_commit_sec=0.75,
+    next_verse_emit_mode="candidate_until_confirmed",
+    tracking_completion_coverage=0.82,
+    acoustic_continuation_margin=0.06,
+    advance_relative_margin=3.5,
+)
+
+AGGRESSIVE_ADVANCE = dataclasses.replace(
+    BALANCED,
+    discovery_trigger_sec=1.5,
+    tracking_completion_coverage=0.85,
+    discovery_repeat_cycles=1,
+    acoustic_continuation_margin=0.04,
+    advance_relative_margin=4.0,
+    advance_flush_strict_margin=1.0,
+)
+
+STREAMING_PRESETS = {
+    "conservative": CONSERVATIVE,
+    "balanced": BALANCED,
+    "aggressiveAdvance": AGGRESSIVE_ADVANCE,
+    "aggressive_advance": AGGRESSIVE_ADVANCE,
+}
+
+DEFAULT_STREAMING_CONFIG = BALANCED
+
+
+def _clamp(v: float, lo: float, hi: float) -> float:
+    return max(lo, min(hi, float(v)))
+
+
+# field -> (lo, hi, round-to-int) — the clamp contract of
+# normalizeStreamingConfig (types.ts:279-312).
+_CLAMPS: dict[str, tuple[float, float, bool]] = {
+    "audio_chunk_ms": (100, 1000, False),
+    "discovery_trigger_sec": (0.5, 6, False),
+    "tracking_trigger_sec": (0.15, 3, False),
+    "discovery_max_window_sec": (3, 45, False),
+    "tracking_max_window_sec": (3, 45, False),
+    "tail_after_commit_sec": (0, 6, False),
+    "tail_after_pending_advance_sec": (0, 3, False),
+    "final_silence_sec": (0.3, 5, False),
+    "silence_rms_threshold": (0.001, 0.05, False),
+    "first_match_threshold": (0.1, 0.99, False),
+    "verse_match_threshold": (0.1, 0.99, False),
+    "discovery_repeat_cycles": (1, 5, True),
+    "acoustic_clear_margin": (0, 1, False),
+    "acoustic_continuation_margin": (0, 1, False),
+    "decode_stability_ratio": (0, 1, False),
+    "non_continuation_jump_threshold": (0.1, 0.99, False),
+    "tracking_completion_coverage": (0.5, 1, False),
+    "tracking_prefix_tolerance": (0, 1, False),
+    "lookahead_words": (1, 15, True),
+    "stale_cycle_limit": (1, 12, True),
+    "tracking_silence_timeout_sec": (0.5, 10, False),
+    "advance_relative_margin": (-2, 8, False),
+    "advance_prefix_tokens": (3, 60, True),
+    "advance_flush_strict_margin": (-2, 8, False),
+}
+
+
+def normalize_streaming_config(
+    partial: dict | StreamingConfig | None = None,
+    base: StreamingConfig = DEFAULT_STREAMING_CONFIG,
+) -> StreamingConfig:
+    """Merge a partial override onto `base` and clamp every knob into its
+    valid range; unknown keys are ignored, bad emit modes fall back."""
+    if isinstance(partial, StreamingConfig):
+        merged = dataclasses.asdict(partial)
+    else:
+        merged = dataclasses.asdict(base)
+        for k, v in (partial or {}).items():
+            if k in merged:
+                merged[k] = v
+    out = {}
+    for k, v in merged.items():
+        if k in _CLAMPS:
+            lo, hi, to_int = _CLAMPS[k]
+            v = _clamp(v, lo, hi)
+            if to_int:
+                v = round(v)
+        elif k == "decode_stability_enabled":
+            v = bool(v)
+        elif k == "next_verse_emit_mode":
+            if v not in NEXT_VERSE_EMIT_MODES:
+                v = DEFAULT_STREAMING_CONFIG.next_verse_emit_mode
+        out[k] = v
+    return StreamingConfig(**out)
+
+
+# ---------------------------------------------------------------------------
+# StreamingHypothesis transition parameters (tracker.ts:443-481)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HypothesisParams:
+    surah_jump_high_confidence: float = -0.35
+    surah_jump: float = -1.25
+    same_ayah: float = 0.15
+    next_ayah: float = 0.35
+    small_forward_per_ayah: float = -0.15
+    backward: float = -1.0
+    far_forward: float = -0.65
+
+
+def hypothesis_params_from_env() -> HypothesisParams:
+    def env(name: str, fallback: float) -> float:
+        raw = os.getenv(f"STREAMING_HYPOTHESIS_{name}")
+        if raw is None:
+            return fallback
+        try:
+            return float(raw)
+        except ValueError:
+            return fallback
+
+    d = HypothesisParams()
+    return HypothesisParams(
+        surah_jump_high_confidence=env(
+            "SURAH_JUMP_HIGH_CONFIDENCE", d.surah_jump_high_confidence
+        ),
+        surah_jump=env("SURAH_JUMP", d.surah_jump),
+        same_ayah=env("SAME_AYAH", d.same_ayah),
+        next_ayah=env("NEXT_AYAH", d.next_ayah),
+        small_forward_per_ayah=env(
+            "SMALL_FORWARD_PER_AYAH", d.small_forward_per_ayah
+        ),
+        backward=env("BACKWARD", d.backward),
+        far_forward=env("FAR_FORWARD", d.far_forward),
+    )

@@ -1,0 +1,1365 @@
+"""RecitationTracker — the full-featured streaming brain.
+
+Behavioral parity with the reference's browser tracker (reference:
+web/frontend/src/lib/tracker.ts, 1,928 LoC), rebuilt as host-side policy
+around the TPU transcribe function:
+
+  * discovery/tracking two-mode FSM with RMS silence gating and
+    final-flush detection (tracker.ts:540-599)
+  * candidate fusion ranking: text 0.6 / acoustic 0.25 / length 0.15,
+    low-text 0.45/0.4/0.15 (types.ts:152-157, tracker.ts:1694-1777); the
+    acoustic term is the batched on-device CTC forced-alignment scorer
+  * commit rules: clear-margin (gated by decode stability ≥ 0.70,
+    tracker.ts:188-195, 1424-1436) OR repeated leader OR final flush;
+    anti-cascade blocks on non-continuation jumps (tracker.ts:1381-1415)
+  * short-utterance CTC rescue over short-verse candidates
+    (tracker.ts:1055-1110)
+  * tracking: greedy word alignment with lookahead (tracker.ts:220-252),
+    acoustic/char-level progress fallbacks, advance gate comparing CTC
+    scores of current-verse suffix vs next-verse prefix
+    (tracker.ts:857-877), deferred next-verse emission with pre-advance
+    snapshot rollback (tracker.ts:907-1003, 1843-1860), stale exit and
+    misidentification rollback
+  * per-utterance StreamingHypothesis Viterbi over candidate cycles →
+    final_sequence (tracker.ts:314-431)
+  * typed diagnostics event stream via on_diagnostic (tracker.ts:90-173)
+
+The acoustic backend is any callable returning a TranscribeResult; the
+production one wraps the jitted FastConformer runtime, tests inject
+synthetic/oracle backends (the reference's mocked-tracker pattern,
+test/tracker-deferred.test.ts:1-17).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import numpy as np
+
+from tilawa_tpu.data.quran import QuranDB
+from tilawa_tpu.data.token_store import TokenStore
+from tilawa_tpu.streaming.config import (
+    DEFAULT_STREAMING_CONFIG,
+    HypothesisParams,
+    StreamingConfig,
+    hypothesis_params_from_env,
+)
+from tilawa_tpu.text.levenshtein import partial_ratio, ratio
+
+SAMPLE_RATE = 16000
+
+# Discovery constants (types.ts:137-157) that are not runtime knobs.
+RAW_TRANSCRIPT_THRESHOLD = 0.25
+SURROUNDING_CONTEXT = 2
+DISCOVERY_TOP_SINGLE_CANDIDATES = 64
+DISCOVERY_MAX_SPAN = 4
+DISCOVERY_EXPANDED_CANDIDATES = 200
+DISCOVERY_LOW_CONFIDENCE_WORDS = 4
+DISCOVERY_LOW_CONFIDENCE_CHARS = 18
+FUSION_TEXT_W, FUSION_ACOUSTIC_W, FUSION_LENGTH_W = 0.6, 0.25, 0.15
+FUSION_LOW_TEXT_W, FUSION_LOW_ACOUSTIC_W, FUSION_LOW_LENGTH_W = 0.45, 0.4, 0.15
+FUSION_SELECTION_GAP = 0.08
+SHORT_VERSE_MAX_TOKENS = 15
+
+
+@dataclasses.dataclass
+class TranscribeResult:
+    """One acoustic decode of the current window."""
+
+    text: str                      # normalized transcript
+    token_ids: list[int] = dataclasses.field(default_factory=list)
+    log_probs: np.ndarray | None = None   # [T, V] float32
+    t_valid: int = 0
+
+    @property
+    def has_acoustic(self) -> bool:
+        return self.log_probs is not None and self.t_valid > 0
+
+
+TranscribeFn = Callable[[np.ndarray], TranscribeResult]
+
+
+def is_silence(audio: np.ndarray, threshold: float) -> bool:
+    if len(audio) == 0:
+        return True
+    return float(np.sqrt(np.mean(audio.astype(np.float64) ** 2))) < threshold
+
+
+def words_match(w1: str, w2: str, threshold: float = 0.7) -> bool:
+    if w1 == w2:
+        return True
+    if len(w1) <= 2 or len(w2) <= 2:
+        return False
+    return ratio(w1, w2) >= threshold
+
+
+def align_position(
+    recognized: list[str], verse_words: list[str], start_from: int = 0,
+    lookahead: int = 5,
+) -> tuple[int, list[int]]:
+    """Greedy forward alignment (tracker.ts:220-252): returns
+    (position, matched verse-word indices)."""
+    if not recognized or not verse_words:
+        return 0, []
+    matched: list[int] = []
+    ptr = start_from
+    for rec in recognized:
+        if ptr >= len(verse_words):
+            break
+        for j in range(ptr, min(ptr + lookahead, len(verse_words))):
+            if words_match(rec, verse_words[j]):
+                matched.append(j)
+                ptr = j + 1
+                break
+    if matched:
+        return matched[-1] + 1, matched
+    return start_from, []
+
+
+def has_strong_pending_prefix_evidence(matched: list[int], total_words: int) -> bool:
+    """Fresh-audio confirmation rule for a deferred next-verse emission
+    (tracker.ts:253-266)."""
+    if not matched:
+        return False
+    first, last = matched[0], matched[-1]
+    if total_words <= 3:
+        return first == 0
+    return first <= 1 and (len(matched) >= 2 or last >= 2)
+
+
+def ref_key(surah: int, ayah: int, ayah_end: int | None = None) -> str:
+    if ayah_end and ayah_end > ayah:
+        return f"{surah}:{ayah}:{ayah_end}"
+    return f"{surah}:{ayah}"
+
+
+# ---------------------------------------------------------------------------
+# StreamingHypothesis — per-utterance Viterbi over candidate cycles
+# ---------------------------------------------------------------------------
+
+class StreamingHypothesis:
+    """Observe verse_candidate cycles + commits; on flush, Viterbi over
+    cycles with recitation-shaped transition scores → final_sequence
+    (tracker.ts:314-431)."""
+
+    MAX_CYCLES = 80
+    TOP_PER_CYCLE = 5
+
+    def __init__(self, params: HypothesisParams | None = None):
+        self.params = params or hypothesis_params_from_env()
+        self.cycles: list[list[dict]] = []
+        self.committed: list[dict] = []
+
+    def observe_candidates(self, message: dict) -> None:
+        cands = message.get("candidates") or []
+        if not cands:
+            return
+        self.cycles.append(cands[: self.TOP_PER_CYCLE])
+        if len(self.cycles) > self.MAX_CYCLES:
+            self.cycles.pop(0)
+
+    def observe_commit(self, message: dict) -> None:
+        verse = {
+            "surah": message["surah"],
+            "ayah": message["ayah"],
+            "confidence": message.get("confidence", 0.0),
+        }
+        if not any(
+            v["surah"] == verse["surah"] and v["ayah"] == verse["ayah"]
+            for v in self.committed
+        ):
+            self.committed.append(verse)
+
+    def reset(self) -> None:
+        self.cycles = []
+        self.committed = []
+
+    def _transition(self, prev: dict, nxt: dict) -> float:
+        p = self.params
+        if prev["surah"] != nxt["surah"]:
+            return (
+                p.surah_jump_high_confidence
+                if nxt.get("confidence", 0.0) >= 0.85
+                else p.surah_jump
+            )
+        prev_end = prev.get("ayah_end") or prev["ayah"]
+        if prev_end < prev["ayah"]:
+            prev_end = prev["ayah"]
+        delta = nxt["ayah"] - prev_end
+        if delta == 0:
+            return p.same_ayah
+        if delta == 1:
+            return p.next_ayah
+        if 1 < delta <= 3:
+            return p.small_forward_per_ayah * delta
+        if delta < 0:
+            return p.backward
+        return p.far_forward
+
+    @staticmethod
+    def _expand(cand: dict) -> list[dict]:
+        end = cand.get("ayah_end") or cand["ayah"]
+        return [
+            {"surah": cand["surah"], "ayah": a,
+             "confidence": cand.get("confidence", 0.0)}
+            for a in range(cand["ayah"], max(end, cand["ayah"]) + 1)
+        ]
+
+    def _best_path(self) -> list[dict]:
+        if not self.cycles:
+            return []
+        previous: list[dict] = []
+        for cycle in self.cycles:
+            current = []
+            for cand in cycle:
+                verses = self._expand(cand)
+                conf = cand.get("confidence", 0.0)
+                if not previous:
+                    current.append(
+                        {"cand": cand, "score": conf, "verses": verses}
+                    )
+                    continue
+                best_prev, best_score = None, -math.inf
+                for st in previous:
+                    s = st["score"] + conf + self._transition(st["cand"], cand)
+                    if s > best_score:
+                        best_score, best_prev = s, st
+                current.append(
+                    {
+                        "cand": cand,
+                        "score": best_score,
+                        "verses": best_prev["verses"] + verses,
+                    }
+                )
+            previous = current
+        return max(previous, key=lambda st: st["score"])["verses"]
+
+    def finalize(self) -> dict | None:
+        path = self._best_path()
+        verses = path if path else self.committed
+        if not verses:
+            return None
+        deduped: list[dict] = []
+        for v in verses:
+            if not any(
+                d["surah"] == v["surah"] and d["ayah"] == v["ayah"] for d in deduped
+            ):
+                deduped.append(v)
+        confidence = sum(v["confidence"] for v in deduped) / len(deduped)
+        return {
+            "type": "final_sequence",
+            "verses": deduped,
+            "confidence": round(confidence, 2),
+        }
+
+
+# ---------------------------------------------------------------------------
+# RecitationTracker
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _CommitEvidence:
+    confidence: float
+    acoustic_margin: float
+    strong: bool
+
+
+class RecitationTracker:
+    def __init__(
+        self,
+        transcribe: TranscribeFn,
+        db: QuranDB | None = None,
+        token_store: TokenStore | None = None,
+        config: StreamingConfig | None = None,
+        on_diagnostic: Callable[[dict], None] | None = None,
+        hypothesis_params: HypothesisParams | None = None,
+    ):
+        self.transcribe = transcribe
+        self.db = db or QuranDB()
+        self.token_store = token_store or TokenStore.load_default()
+        self.config = config or DEFAULT_STREAMING_CONFIG
+        self.on_diagnostic = on_diagnostic
+        self.hypothesis = StreamingHypothesis(hypothesis_params)
+
+        self._short_verse_cache: list[dict] | None = None
+        self.reset()
+
+    # ------------------------------------------------------------- control
+
+    def reset(self) -> None:
+        self.utterance_audio = np.zeros(0, dtype=np.float32)
+        self.total_samples_fed = 0
+        self.new_audio_count = 0
+        self.silence_samples = 0
+        self.utterance_has_speech = False
+        self.did_final_flush = False
+        self.cycles_since_commit = 0
+        self.pending_leader: tuple[str, int] | None = None
+        self.last_raw_transcript: str | None = None
+
+        self.last_emitted_ref: tuple[int, int] | None = None
+        self.last_emitted_text = ""
+        self.prev_emitted_ref: tuple[int, int] | None = None
+        self.prev_emitted_text = ""
+        self.last_commit_evidence: _CommitEvidence | None = None
+        self.consecutive_auto_advances = 0
+
+        self.tracking_verse: dict | None = None
+        self.tracking_verse_words: list[str] = []
+        self.tracking_last_word_idx = -1
+        self.tracking_progress_established = False
+        self.stale_cycles = 0
+        self.last_tracking_result: TranscribeResult | None = None
+
+        self.tracking_pending_emission = False
+        self.pending_emission_message: dict | None = None
+        self.pending_emission_margin = math.inf
+        self.pre_advance_snapshot: dict | None = None
+        self.samples_at_advance = 0
+
+        self.hypothesis.reset()
+
+    def set_config(self, partial: dict | StreamingConfig) -> None:
+        from tilawa_tpu.streaming.config import normalize_streaming_config
+
+        self.config = normalize_streaming_config(partial, base=self.config)
+
+    # ---------------------------------------------------------------- feed
+
+    @property
+    def in_tracking(self) -> bool:
+        return self.tracking_verse is not None
+
+    def feed(self, samples: np.ndarray) -> list[dict]:
+        cfg = self.config
+        samples = np.asarray(samples, dtype=np.float32)
+        self.total_samples_fed += len(samples)
+        self.utterance_audio = np.concatenate([self.utterance_audio, samples])
+        max_samples = cfg.samples(
+            cfg.tracking_max_window_sec if self.in_tracking
+            else cfg.discovery_max_window_sec
+        )
+        if len(self.utterance_audio) > max_samples:
+            self.utterance_audio = self.utterance_audio[-max_samples:]
+        self.new_audio_count += len(samples)
+
+        if is_silence(samples, cfg.silence_rms_threshold):
+            self.silence_samples += len(samples)
+        else:
+            self.silence_samples = 0
+            self.utterance_has_speech = True
+            self.did_final_flush = False
+
+        final_flush = (
+            self.utterance_has_speech
+            and not self.did_final_flush
+            and self.silence_samples >= cfg.samples(cfg.final_silence_sec)
+        )
+
+        if self.in_tracking:
+            messages = self._handle_tracking(final_flush)
+        else:
+            messages = self._handle_discovery(final_flush)
+
+        for m in messages:
+            if m["type"] == "verse_candidate":
+                self.hypothesis.observe_candidates(m)
+            elif m["type"] == "verse_match":
+                self.hypothesis.observe_commit(m)
+
+        if final_flush:
+            final_seq = self.hypothesis.finalize()
+            if final_seq:
+                messages.append(final_seq)
+            self.did_final_flush = True
+            self._diag(
+                type="flush",
+                mode="tracking" if self.in_tracking else "discovery",
+                duration_sec=len(self.utterance_audio) / SAMPLE_RATE,
+            )
+            if not self.in_tracking:
+                self._reset_utterance()
+        return messages
+
+    # ----------------------------------------------------------- discovery
+
+    def _handle_discovery(self, final_flush: bool) -> list[dict]:
+        cfg = self.config
+        messages: list[dict] = []
+        if not self.utterance_has_speech:
+            self._diag(type="silence_skip", mode="discovery", reason="no speech")
+            return messages
+        if not final_flush and self.new_audio_count < cfg.samples(
+            cfg.discovery_trigger_sec
+        ):
+            return messages
+        self.new_audio_count = 0
+        self.cycles_since_commit += 1
+
+        result = self.transcribe(self.utterance_audio)
+        text = result.text.strip()
+
+        if not text or len(text) < 5:
+            rescue = self._short_utterance_rescue(result)
+            if rescue:
+                return rescue
+            self._diag(type="silence_skip", mode="discovery",
+                       reason="transcript too short")
+            return messages
+
+        # Residual-overlap skip vs the last emitted verse.
+        if (
+            self.last_emitted_text
+            and self.last_commit_evidence
+            and self.last_commit_evidence.strong
+            and not final_flush
+        ):
+            residual = partial_ratio(text, self.last_emitted_text)
+            text_chars = len(text.replace(" ", ""))
+            emitted_chars = len(self.last_emitted_text.replace(" ", ""))
+            if residual > 0.7 and text_chars <= math.ceil(emitted_chars * 1.15):
+                self._diag(type="silence_skip", mode="discovery",
+                           reason=f"residual={residual:.3f}")
+                return messages
+
+        match = self.db.match_verse(
+            text,
+            threshold=RAW_TRANSCRIPT_THRESHOLD,
+            max_span=DISCOVERY_MAX_SPAN,
+            hint=self.last_emitted_ref,
+            return_top_k=5,
+        )
+        text_confidence_low = (
+            match is None or match["score"] < cfg.verse_match_threshold + 0.10
+        )
+        single_limit = (
+            DISCOVERY_EXPANDED_CANDIDATES if text_confidence_low
+            else DISCOVERY_TOP_SINGLE_CANDIDATES
+        )
+        retrieved = self._retrieve_candidates(text, match, single_limit)
+        ranked = self._rank_candidates(retrieved, result)
+
+        self._diag(
+            type="discovery_cycle",
+            text=text,
+            final_flush=final_flush,
+            candidates=[
+                {
+                    "ref": ref_key(r["candidate"]["surah"], r["candidate"]["ayah"],
+                                   r["candidate"].get("ayah_end")),
+                    "stage_a": round(r["candidate"].get("score", 0.0), 3),
+                    "acoustic": round(r["acoustic_score"], 3)
+                    if math.isfinite(r["acoustic_score"]) else None,
+                    "fusion": round(r["fusion_score"], 3),
+                    "length_fit": round(r["length_fit"], 3),
+                    "feasible": r["feasible"],
+                }
+                for r in ranked[:8]
+            ],
+        )
+
+        effective, score, acoustic_margin, length_fit = self._derive_effective_match(
+            match, ranked, result, text_confidence_low, final_flush
+        )
+
+        threshold = (
+            cfg.verse_match_threshold if self.last_emitted_ref
+            else cfg.first_match_threshold
+        )
+        if effective is None or score < threshold:
+            if effective is not None and score >= RAW_TRANSCRIPT_THRESHOLD:
+                messages.append(
+                    {"type": "raw_transcript", "text": text,
+                     "closest_match": ref_key(effective["surah"], effective["ayah"],
+                                              effective.get("ayah_end")),
+                     "score": round(score, 3)}
+                )
+            else:
+                messages.append({"type": "raw_transcript", "text": text})
+            self.last_raw_transcript = text
+            return messages
+
+        key = ref_key(effective["surah"], effective["ayah"], effective.get("ayah_end"))
+        if self.pending_leader and self.pending_leader[0] == key:
+            self.pending_leader = (key, self.pending_leader[1] + 1)
+        else:
+            self.pending_leader = (key, 1)
+
+        is_continuation = self._is_continuation(effective["surah"], effective["ayah"])
+        clear_margin = length_fit >= 0.6 and acoustic_margin >= (
+            cfg.acoustic_continuation_margin if is_continuation
+            else cfg.acoustic_clear_margin
+        )
+        repeated_leader = self.pending_leader[1] >= cfg.discovery_repeat_cycles
+
+        messages.append(
+            {
+                "type": "verse_candidate",
+                "candidates": [
+                    {
+                        "surah": r["candidate"]["surah"],
+                        "ayah": r["candidate"]["ayah"],
+                        "ayah_end": r["candidate"].get("ayah_end"),
+                        "confidence": round(min(1.0, max(r["fusion_score"], 0.0)), 3),
+                        "rank": i + 1,
+                        "source": "discovery",
+                    }
+                    for i, r in enumerate(ranked[:5])
+                ],
+                "stable": repeated_leader or final_flush,
+                "final_flush": final_flush,
+            }
+        )
+
+        # Anti-cascade: block live non-continuation jumps right after a
+        # commit (tracker.ts:1381-1415).
+        blocked = False
+        if self.last_emitted_ref and not is_continuation and not final_flush:
+            blocked = True
+            self._diag(
+                type="advance_decision",
+                action="blocked",
+                reason="live non-continuation discovery blocked",
+                from_ref=ref_key(*self.last_emitted_ref),
+                to_ref=key,
+            )
+        if (
+            not is_continuation
+            and self.last_emitted_ref
+            and self.cycles_since_commit <= 2
+            and score < cfg.non_continuation_jump_threshold
+            and not repeated_leader
+        ):
+            blocked = True
+
+        final_flush_commit = final_flush and score >= threshold
+
+        # Decode-stability gate on single-cycle clearMargin commits.
+        clear_margin_allowed = clear_margin
+        if (
+            cfg.decode_stability_enabled
+            and clear_margin
+            and not is_continuation
+        ):
+            prev = self.last_raw_transcript
+            stable = bool(prev) and ratio(prev, text) >= cfg.decode_stability_ratio
+            if not stable:
+                clear_margin_allowed = False
+        self.last_raw_transcript = text
+
+        if not blocked and (clear_margin_allowed or repeated_leader or final_flush_commit):
+            ref = (effective["surah"], effective["ayah"])
+            if self.last_emitted_ref == ref:
+                return messages
+            confidence = max(
+                score, min(0.99, 0.45 + acoustic_margin + length_fit * 0.2)
+            )
+            messages.append(self._verse_match_message(effective, confidence))
+            self._diag(
+                type="commit",
+                ref=key,
+                reason=(
+                    "final_flush" if final_flush_commit and not clear_margin_allowed
+                    and not repeated_leader else
+                    "repeated_leader" if repeated_leader else "clear_margin"
+                ),
+                confidence=round(confidence, 2),
+            )
+            self.prev_emitted_ref = self.last_emitted_ref
+            self.prev_emitted_text = self.last_emitted_text
+            self.last_emitted_ref = ref
+            verse = self.db.get_verse(*ref)
+            self.last_emitted_text = (verse or {}).get("text_clean", text)
+            self.last_commit_evidence = _CommitEvidence(
+                confidence=confidence,
+                acoustic_margin=acoustic_margin,
+                strong=clear_margin or repeated_leader,
+            )
+            self.pending_leader = None
+            self.cycles_since_commit = 0
+            self.consecutive_auto_advances = 0
+            if verse:
+                self._enter_tracking(verse)
+                self._retain_tail_after_commit()
+        return messages
+
+    def _short_utterance_rescue(self, result: TranscribeResult) -> list[dict]:
+        """CTC rescue over short-verse candidates when the transcript is too
+        short to retrieve on (tracker.ts:1055-1110)."""
+        cfg = self.config
+        if not (
+            result.has_acoustic
+            and len(result.token_ids) >= 2
+            and self.cycles_since_commit > 1
+        ):
+            return []
+        shorts = self._short_verse_candidates()
+        if not shorts:
+            return []
+        from tilawa_tpu.pipeline.rerank import score_token_lists
+
+        scores = score_token_lists(
+            result.log_probs, result.t_valid,
+            [c["token_ids"] for c in shorts],
+            blank_id=result.log_probs.shape[-1] - 1,
+        )
+        order = np.argsort(scores)
+        if not np.isfinite(scores[order[0]]) or not np.isfinite(scores[order[1]]):
+            return []
+        margin = float(scores[order[1]] - scores[order[0]])
+        if margin < cfg.acoustic_clear_margin:
+            return []
+        best = shorts[int(order[0])]
+        ref = (best["surah"], best["ayah"])
+        if self.last_emitted_ref == ref:
+            return []
+        verse = self.db.get_verse(*ref)
+        if not verse:
+            return []
+        confidence = min(0.85, 0.5 + margin)
+        msg = self._verse_match_message(verse, confidence)
+        self.prev_emitted_ref = self.last_emitted_ref
+        self.prev_emitted_text = self.last_emitted_text
+        self.last_emitted_ref = ref
+        self.last_emitted_text = verse["text_clean"]
+        self.last_commit_evidence = _CommitEvidence(
+            confidence=confidence, acoustic_margin=margin, strong=margin >= 0.3
+        )
+        self.pending_leader = None
+        self.cycles_since_commit = 0
+        self.consecutive_auto_advances = 0
+        self._diag(type="commit", ref=ref_key(*ref), reason="short_rescue",
+                   confidence=round(confidence, 2),
+                   acoustic_margin=round(margin, 3))
+        self._enter_tracking(verse)
+        return [msg]
+
+    def _short_verse_candidates(self) -> list[dict]:
+        if self._short_verse_cache is None:
+            out = []
+            for verse in self.db.verses:
+                ids = self.token_store.ids_for_key(verse["surah"], verse["ayah"])
+                if ids and len(ids) <= SHORT_VERSE_MAX_TOKENS:
+                    out.append(
+                        {"surah": verse["surah"], "ayah": verse["ayah"],
+                         "token_ids": ids}
+                    )
+            self._short_verse_cache = out
+        return self._short_verse_cache
+
+    def _retrieve_candidates(
+        self, text: str, match: dict | None, single_limit: int
+    ) -> list[dict]:
+        """Single verses + spans: match runners-up, fragment search, and
+        span enumeration around the top refs (quran-db.ts retrieveCandidates
+        equivalent on QuranDB primitives)."""
+        from tilawa_tpu.pipeline.candidates import make_span
+
+        out: list[dict] = []
+        seen: set = set()
+
+        def add(cand: dict) -> None:
+            key = (cand["surah"], cand["ayah"], cand.get("ayah_end") or cand["ayah"])
+            if key not in seen:
+                seen.add(key)
+                out.append(cand)
+
+        if match:
+            add(dict(match))
+            for ru in match.get("runners_up", []):
+                verse = self.db.get_verse(ru["surah"], ru["ayah"])
+                if verse:
+                    c = dict(verse)
+                    c["score"] = ru.get("score", 0.0)
+                    add(c)
+        for verse in self.db.search(text, top_k=single_limit):
+            add(dict(verse))
+
+        # Span enumeration around the top single refs.
+        top_refs = [(c["surah"], c["ayah"]) for c in out[:24]]
+        for surah, ayah in top_refs:
+            max_ayah = len(self.db.get_surah(surah))
+            for start in range(max(1, ayah - DISCOVERY_MAX_SPAN + 1), ayah + 1):
+                for end in range(
+                    max(ayah, start + 1),
+                    min(max_ayah, start + DISCOVERY_MAX_SPAN - 1) + 1,
+                ):
+                    span = make_span(self.db, surah, start, end)
+                    if span:
+                        span["score"] = self.db.best_fragment_score(
+                            text,
+                            {"text_clean": span["text_clean"],
+                             "text_clean_alt": span["text_clean"]},
+                        )
+                        add(span)
+        return out
+
+    def _rank_candidates(
+        self, candidates: list[dict], result: TranscribeResult
+    ) -> list[dict]:
+        """Fusion ranking (tracker.ts:1694-1777): normalized-acoustic +
+        text + length-fit weighted blend; weights shift when the text
+        evidence is weak."""
+        if not candidates:
+            return []
+        if not result.has_acoustic:
+            ranked = [
+                {
+                    "candidate": c,
+                    "acoustic_score": math.inf,
+                    "acoustic_margin": 0.0,
+                    "feasible": False,
+                    "length_fit": 1.0,
+                    "fusion_score": float(c.get("score", 0.0)),
+                }
+                for c in candidates
+            ]
+            ranked.sort(key=lambda r: r["candidate"].get("score", 0.0), reverse=True)
+            return ranked
+
+        observed_len = max(len(result.token_ids), 1)
+        words = len(result.text.split())
+        chars = len(result.text.replace(" ", ""))
+        text_weak = (
+            words <= DISCOVERY_LOW_CONFIDENCE_WORDS
+            or chars <= DISCOVERY_LOW_CONFIDENCE_CHARS
+        )
+        tw = FUSION_LOW_TEXT_W if text_weak else FUSION_TEXT_W
+        aw = FUSION_LOW_ACOUSTIC_W if text_weak else FUSION_ACOUSTIC_W
+        lw = FUSION_LOW_LENGTH_W if text_weak else FUSION_LENGTH_W
+
+        from tilawa_tpu.pipeline.rerank import score_token_lists
+
+        token_lists = [self.token_store.ids_for_candidate(c) for c in candidates]
+        scores = score_token_lists(
+            result.log_probs, result.t_valid, token_lists,
+            blank_id=result.log_probs.shape[-1] - 1,
+        )
+        feasible_scores = scores[np.isfinite(scores)]
+        if len(feasible_scores):
+            lo, hi = float(feasible_scores.min()), float(feasible_scores.max())
+        else:
+            lo, hi = 0.0, 1.0
+        rng = max(hi - lo, 1e-6)
+
+        order = np.argsort(scores)
+        sorted_scores = scores[order]
+        ranked = []
+        for rank_pos, idx in enumerate(order):
+            c = candidates[int(idx)]
+            s = float(scores[idx])
+            feasible = math.isfinite(s)
+            cand_len = max(len(token_lists[int(idx)]), 1)
+            length_fit = min(cand_len, observed_len) / max(cand_len, observed_len)
+            acoustic_fit = (1 - (s - lo) / rng) if feasible else 0.0
+            fusion = min(
+                1.0,
+                float(c.get("score", 0.0)) * tw + acoustic_fit * aw + length_fit * lw,
+            )
+            nxt = (
+                float(sorted_scores[rank_pos + 1])
+                if rank_pos + 1 < len(sorted_scores) else s
+            )
+            ranked.append(
+                {
+                    "candidate": c,
+                    "acoustic_score": s,
+                    "acoustic_margin": (nxt - s) if feasible and math.isfinite(nxt)
+                    else 0.0,
+                    "feasible": feasible,
+                    "length_fit": length_fit,
+                    "fusion_score": fusion,
+                }
+            )
+        ranked.sort(
+            key=lambda r: (
+                r["fusion_score"],
+                r["candidate"].get("score", 0.0),
+                -r["acoustic_score"] if math.isfinite(r["acoustic_score"]) else 0.0,
+            ),
+            reverse=True,
+        )
+        return ranked
+
+    def _derive_effective_match(
+        self,
+        match: dict | None,
+        ranked: list[dict],
+        result: TranscribeResult,
+        text_confidence_low: bool,
+        final_flush: bool,
+    ) -> tuple[dict | None, float, float, float]:
+        """Text-vs-fusion arbitration (tracker.ts:1177-1330): fusion
+        overrides weak text matches; span matches rebase onto the expected
+        next ayah during live continuation."""
+        cfg = self.config
+        fusion_best = ranked[0] if ranked else None
+        effective = dict(match) if match else None
+        score = float(match["score"]) if match else 0.0
+        acoustic_margin = fusion_best["acoustic_margin"] if fusion_best else 0.0
+        length_fit = fusion_best["length_fit"] if fusion_best else 1.0
+
+        def as_match(r: dict, floor: float = 0.0) -> tuple[dict, float]:
+            c = dict(r["candidate"])
+            s = max(
+                float(c.get("score", 0.0)), r["fusion_score"], floor
+            )
+            c["score"] = s
+            return c, s
+
+        if match and fusion_best:
+            match_key = ref_key(match["surah"], match["ayah"], match.get("ayah_end"))
+            fb = fusion_best["candidate"]
+            fusion_key = ref_key(fb["surah"], fb["ayah"], fb.get("ayah_end"))
+            fusion_gap = fusion_best["fusion_score"] - match["score"]
+            if fusion_key == match_key:
+                score = max(score, fusion_best["fusion_score"],
+                            float(fb.get("score", 0.0)))
+            else:
+                is_span = (fb.get("ayah_end") or fb["ayah"]) > fb["ayah"]
+                should_override = (
+                    match["score"] < cfg.verse_match_threshold + 0.10
+                    or text_confidence_low
+                    or fusion_gap >= FUSION_SELECTION_GAP
+                    or (is_span and fusion_best["length_fit"] >= 0.7)
+                )
+                if should_override:
+                    effective, score = as_match(fusion_best, floor=0.5)
+                    score = max(score, match["score"])
+                    effective["score"] = score
+                    acoustic_margin = fusion_best["acoustic_margin"]
+                    length_fit = fusion_best["length_fit"]
+        elif not match and fusion_best:
+            effective, score = as_match(fusion_best)
+
+        # Live span-to-next rebase: a broad span covering the expected next
+        # ayah yields to a clearly-better nearby forward continuation.
+        if effective and fusion_best and self.last_emitted_ref and not final_flush:
+            next_ayah = self.last_emitted_ref[1] + 1
+            eff_end = effective.get("ayah_end") or effective["ayah"]
+            top = fusion_best["candidate"]
+            broad_covers_next = (
+                effective["surah"] == self.last_emitted_ref[0]
+                and effective["ayah"] < next_ayah <= eff_end
+            )
+            top_is_nearby_forward = (
+                top["surah"] == self.last_emitted_ref[0]
+                and next_ayah < top["ayah"] <= self.last_emitted_ref[1] + 3
+            )
+            top_clearly_better = (
+                (fusion_best["feasible"] or not result.has_acoustic)
+                and fusion_best["length_fit"] >= 0.6
+                and fusion_best["fusion_score"] >= score + 0.05
+            )
+            if broad_covers_next and top_is_nearby_forward and top_clearly_better:
+                effective, score = as_match(fusion_best)
+                acoustic_margin = fusion_best["acoustic_margin"]
+                length_fit = fusion_best["length_fit"]
+
+            # Span starting at/before the last emitted ayah but covering the
+            # next: rebase to the next single verse (tracker.ts:1306-1330).
+            eff_end = effective.get("ayah_end") or effective["ayah"]
+            if (
+                effective["surah"] == self.last_emitted_ref[0]
+                and effective["ayah"] != next_ayah
+                and effective["ayah"] <= next_ayah <= eff_end
+            ):
+                nxt = self.db.get_verse(effective["surah"], next_ayah)
+                if nxt:
+                    effective = dict(nxt)
+                    effective["score"] = score
+                    effective["ayah_end"] = None
+
+        # Pull the selected candidate's own margin/length diagnostics.
+        if effective:
+            eff_key = ref_key(effective["surah"], effective["ayah"],
+                              effective.get("ayah_end"))
+            for r in ranked:
+                c = r["candidate"]
+                if ref_key(c["surah"], c["ayah"], c.get("ayah_end")) == eff_key:
+                    acoustic_margin = r["acoustic_margin"]
+                    length_fit = r["length_fit"]
+                    break
+        return effective, score, acoustic_margin, length_fit
+
+    # ------------------------------------------------------------ tracking
+
+    def _handle_tracking(self, final_flush: bool) -> list[dict]:
+        cfg = self.config
+        messages: list[dict] = []
+        verse = self.tracking_verse
+        if verse is None:
+            return messages
+
+        if not final_flush and self.new_audio_count < cfg.samples(
+            cfg.tracking_trigger_sec
+        ):
+            if self.silence_samples >= cfg.samples(cfg.tracking_silence_timeout_sec):
+                self._rollback_weak_commit("tracking silence timeout")
+                self._exit_tracking("extended silence")
+            return messages
+        self.new_audio_count = 0
+
+        result = self.transcribe(self.utterance_audio)
+        self.last_tracking_result = result
+        text = result.text.strip()
+        if not text and not final_flush:
+            return messages
+
+        recognized = text.split()
+        resume_from = max(self.tracking_last_word_idx, 0)
+        _, matched = align_position(
+            recognized, self.tracking_verse_words, resume_from, cfg.lookahead_words
+        )
+        primary_matched = list(matched)
+        confirmed_pending = False
+
+        # Fresh-audio confirmation of a deferred next-verse emission.
+        if (
+            self.tracking_pending_emission
+            and has_strong_pending_prefix_evidence(
+                matched, len(self.tracking_verse_words)
+            )
+            and self.total_samples_fed > self.samples_at_advance
+        ):
+            pending = self.pending_emission_message
+            messages.append(pending)
+            self._diag(
+                type="pending_emission", action="confirmed",
+                ref=f"{pending['surah']}:{pending['ayah']}",
+                margin=self._finite(self.pending_emission_margin),
+                fresh_samples=self.total_samples_fed - self.samples_at_advance,
+            )
+            self._clear_pending_emission()
+            confirmed_pending = True
+
+        acoustic_word = None
+        if not matched:
+            idx = self._acoustic_word_progress(result)
+            if idx > self.tracking_last_word_idx:
+                acoustic_word = idx
+                matched = [idx]
+        char_word = None
+        if (
+            not matched
+            and len(text) >= 5
+            and len(self.tracking_verse_words) >= 10
+        ):
+            idx = self._char_level_progress(text)
+            if idx > self.tracking_last_word_idx:
+                char_word = idx
+                matched = [idx]
+
+        advanced = bool(matched) and matched[-1] > self.tracking_last_word_idx
+        self._diag(
+            type="tracking_cycle",
+            ref=ref_key(verse["surah"], verse["ayah"]),
+            text_length=len(text),
+            word_matches=len(primary_matched),
+            acoustic_word=acoustic_word,
+            char_word=char_word,
+            advanced=advanced,
+            final_flush=final_flush,
+            pending=self.tracking_pending_emission,
+        )
+
+        if not advanced:
+            self.stale_cycles += 1
+            if self.stale_cycles >= cfg.stale_cycle_limit or final_flush:
+                self._diag(type="stale_exit",
+                           ref=ref_key(verse["surah"], verse["ayah"]),
+                           stale_cycles=self.stale_cycles)
+                if (
+                    final_flush
+                    and self.tracking_pending_emission
+                    and self.pending_emission_message is not None
+                    and self.pending_emission_margin < cfg.advance_flush_strict_margin
+                ):
+                    pending = self.pending_emission_message
+                    messages.append(pending)
+                    self._diag(
+                        type="commit",
+                        ref=f"{pending['surah']}:{pending['ayah']}",
+                        reason="final_flush_pending_emit",
+                        confidence=pending.get("confidence"),
+                    )
+                    self._clear_pending_emission()
+                    self._exit_tracking("final silence flush (pending emitted)")
+                else:
+                    self._rollback_weak_commit(
+                        "final silence flush" if final_flush else "stale tracking"
+                    )
+                    self._exit_tracking(
+                        "final silence flush" if final_flush else "stale tracking"
+                    )
+            return messages
+
+        self.stale_cycles = 0
+        self.tracking_progress_established = True
+        self.tracking_last_word_idx = matched[-1]
+        word_pos = self.tracking_last_word_idx + 1
+        total_words = len(self.tracking_verse_words)
+        coverage = round(word_pos / total_words, 3)
+        completion_target = math.ceil(total_words * cfg.tracking_completion_coverage)
+        completed_enough = word_pos >= completion_target
+        final_word_reached = self.tracking_last_word_idx >= total_words - 1
+
+        # Coverage-confirmed deferred emission.
+        if (
+            completed_enough
+            and self.tracking_pending_emission
+            and self.pending_emission_message is not None
+        ):
+            pending = self.pending_emission_message
+            messages.append(pending)
+            self._diag(type="pending_emission", action="confirmed",
+                       ref=f"{pending['surah']}:{pending['ayah']}",
+                       margin=self._finite(self.pending_emission_margin),
+                       fresh_samples=self.total_samples_fed - self.samples_at_advance)
+            self._clear_pending_emission()
+            confirmed_pending = True
+
+        if not self.tracking_pending_emission:
+            messages.append(
+                {
+                    "type": "word_progress",
+                    "surah": verse["surah"],
+                    "ayah": verse["ayah"],
+                    "word_index": word_pos,
+                    "total_words": total_words,
+                    "matched_indices": matched,
+                }
+            )
+
+        if completed_enough and confirmed_pending and not final_word_reached:
+            # Anti-cascade: never arm a second advance in the same cycle a
+            # pending emission just confirmed, unless the final word landed.
+            self._diag(type="advance_decision", action="blocked",
+                       reason="pending confirmed before final word",
+                       from_ref=ref_key(verse["surah"], verse["ayah"]), to_ref=None)
+            return messages
+
+        if completed_enough:
+            if (
+                not (self.last_commit_evidence and self.last_commit_evidence.strong)
+                and not self.tracking_progress_established
+            ):
+                self._exit_tracking("weak completion")
+                return messages
+            messages.extend(
+                self._advance(verse, word_pos, total_words, coverage,
+                              completion_target, final_word_reached)
+            )
+        return messages
+
+    def _advance(
+        self, verse: dict, word_pos: int, total_words: int, coverage: float,
+        completion_target: int, final_word_reached: bool,
+    ) -> list[dict]:
+        """Completion handling: relative CTC evidence gate (next-verse
+        prefix vs current-verse suffix), deferred-emission arming with a
+        rollback snapshot, and the three next_verse_emit_mode flavors."""
+        cfg = self.config
+        messages: list[dict] = []
+        current_ref = (verse["surah"], verse["ayah"])
+        current_ids = self.token_store.ids_for_key(*current_ref) or []
+        next_verse = self.db.get_next_verse(*current_ref)
+        advance_ok = True
+        early_advance_ok = True
+        advance_margin = math.inf
+        acoustic = self.last_tracking_result
+        next_ids = (
+            self.token_store.ids_for_key(next_verse["surah"], next_verse["ayah"])
+            if next_verse else None
+        ) or []
+
+        if next_verse and acoustic and acoustic.has_acoustic and current_ids and next_ids:
+            n = cfg.advance_prefix_tokens
+            suffix = current_ids[-min(n, len(current_ids)):]
+            prefix = next_ids[: min(n, len(next_ids))]
+            from tilawa_tpu.pipeline.rerank import score_token_lists
+
+            s = score_token_lists(
+                acoustic.log_probs, acoustic.t_valid, [suffix, prefix],
+                blank_id=acoustic.log_probs.shape[-1] - 1,
+            )
+            suffix_score, prefix_score = float(s[0]), float(s[1])
+            if not (math.isfinite(suffix_score) and math.isfinite(prefix_score)):
+                advance_ok = False
+            else:
+                advance_margin = prefix_score - suffix_score
+                advance_ok = advance_margin < cfg.advance_relative_margin
+                early_advance_ok = (
+                    True if final_word_reached
+                    else advance_margin < cfg.advance_flush_strict_margin
+                )
+
+        if not final_word_reached and not early_advance_ok:
+            self._diag(
+                type="advance_decision", action="wait",
+                reason="coverage reached without final word or next-prefix evidence",
+                from_ref=ref_key(*current_ref),
+                to_ref=ref_key(next_verse["surah"], next_verse["ayah"])
+                if next_verse else None,
+                coverage=coverage, margin=self._finite(advance_margin),
+            )
+            return messages
+
+        self.last_emitted_ref = current_ref
+        self.last_emitted_text = verse["text_clean"]
+        self._exit_tracking(
+            "verse complete" if final_word_reached
+            else "near-complete with next prefix"
+        )
+
+        if not next_verse:
+            return messages
+        if not advance_ok:
+            self._diag(
+                type="advance_decision", action="blocked",
+                reason="advance margin failed",
+                from_ref=ref_key(*current_ref),
+                to_ref=ref_key(next_verse["surah"], next_verse["ayah"]),
+                margin=self._finite(advance_margin),
+            )
+            return messages
+
+        # Arm deferred emission with a rollback snapshot.
+        self.pre_advance_snapshot = {
+            "emitted_ref": self.last_emitted_ref,
+            "emitted_text": self.last_emitted_text,
+            "prev_emitted_ref": self.prev_emitted_ref,
+            "prev_emitted_text": self.prev_emitted_text,
+            "commit_evidence": self.last_commit_evidence,
+        }
+        self.pending_emission_message = self._verse_match_message(next_verse, 0.99)
+        self.tracking_pending_emission = True
+        self.samples_at_advance = self.total_samples_fed
+        self.pending_emission_margin = advance_margin
+        self._diag(
+            type="advance_decision", action="armed",
+            reason="final word reached" if final_word_reached
+            else "completion coverage reached",
+            from_ref=ref_key(*current_ref),
+            to_ref=ref_key(next_verse["surah"], next_verse["ayah"]),
+            coverage=coverage, margin=self._finite(advance_margin),
+        )
+        self._diag(type="pending_emission", action="armed",
+                   ref=ref_key(next_verse["surah"], next_verse["ayah"]),
+                   margin=self._finite(advance_margin), fresh_samples=0)
+
+        self.prev_emitted_ref = current_ref
+        self.prev_emitted_text = self.last_emitted_text
+        self.last_emitted_ref = (next_verse["surah"], next_verse["ayah"])
+        self.last_emitted_text = next_verse["text_clean"]
+        self.last_commit_evidence = _CommitEvidence(0.99, 1.0, True)
+        self._enter_tracking(next_verse)
+        self._retain_tail_after_commit()
+        self.consecutive_auto_advances += 1
+
+        if cfg.next_verse_emit_mode == "candidate_until_confirmed":
+            messages.append(
+                {
+                    "type": "verse_candidate",
+                    "candidates": [
+                        {"surah": next_verse["surah"], "ayah": next_verse["ayah"],
+                         "ayah_end": None, "confidence": 0.99, "rank": 1,
+                         "source": "tracking"}
+                    ],
+                    "stable": True,
+                    "final_flush": False,
+                }
+            )
+        elif cfg.next_verse_emit_mode == "immediate_on_completion":
+            messages.append(self.pending_emission_message)
+            self._clear_pending_emission()
+
+        # Sustained auto-advances degrade to weak so a stale exit triggers
+        # rediscovery instead of persisting (tracker.ts:997-1002).
+        if self.consecutive_auto_advances >= 5:
+            self.last_commit_evidence = dataclasses.replace(
+                self.last_commit_evidence, strong=False
+            )
+        return messages
+
+    # ---------------------------------------------------- progress fallbacks
+
+    def _acoustic_word_progress(self, result: TranscribeResult) -> int:
+        """Best word index by CTC-scoring verse word prefixes
+        (tracker.ts:1675-1692)."""
+        verse = self.tracking_verse
+        if verse is None or not result.has_acoustic:
+            return -1
+        words = self.tracking_verse_words
+        start = self.tracking_last_word_idx + 1
+        upto = min(len(words), start + 6)
+        prefixes = []
+        idxs = []
+        for i in range(start, upto):
+            ids = self.token_store.ids_for_text(" ".join(words[: i + 1]))
+            if ids:
+                prefixes.append(ids)
+                idxs.append(i)
+        if not prefixes:
+            return -1
+        from tilawa_tpu.pipeline.rerank import score_token_lists
+
+        scores = score_token_lists(
+            result.log_probs, result.t_valid, prefixes,
+            blank_id=result.log_probs.shape[-1] - 1,
+        )
+        finite = [(float(s), i) for s, i in zip(scores, idxs) if math.isfinite(s)]
+        if not finite:
+            return -1
+        best_score, best_idx = min(finite)
+        runner = sorted(f[0] for f in finite)
+        if len(runner) >= 2 and runner[1] - runner[0] < self.config.tracking_prefix_tolerance:
+            return -1  # ambiguous
+        return best_idx
+
+    def _char_level_progress(self, text: str) -> int:
+        """Sliding char-window progress fallback (tracker.ts:1779-1822)."""
+        verse = self.tracking_verse
+        if verse is None:
+            return -1
+        words = self.tracking_verse_words
+        joined = verse["text_clean"]
+        no_space_text = text.replace(" ", "")
+        no_space_joined = joined.replace(" ", "")
+        if len(no_space_text) < 3 or len(no_space_text) >= len(no_space_joined):
+            return -1
+        best_score, best_end = 0.0, -1
+        # char end offsets per word
+        ends = []
+        acc = 0
+        for w in words:
+            acc += len(w)
+            ends.append(acc)
+        win = len(no_space_text)
+        for start in range(0, len(no_space_joined) - win + 1):
+            s = ratio(no_space_text, no_space_joined[start:start + win])
+            if s > best_score:
+                best_score = s
+                best_end = start + win
+        if best_score < 0.6 or best_end < 0:
+            return -1
+        for i, e in enumerate(ends):
+            if e >= best_end:
+                return i
+        return len(words) - 1
+
+    # ------------------------------------------------------------- plumbing
+
+    def _verse_match_message(self, verse: dict, confidence: float) -> dict:
+        full = self.db.get_verse(verse["surah"], verse["ayah"]) or verse
+        return {
+            "type": "verse_match",
+            "surah": verse["surah"],
+            "ayah": verse["ayah"],
+            "ayah_end": verse.get("ayah_end"),
+            "verse_text": full.get("text_uthmani") or full.get("text_clean", ""),
+            "surah_name": full.get("surah_name", ""),
+            "confidence": round(confidence, 2),
+            "surrounding_verses": self._surrounding(verse["surah"], verse["ayah"]),
+        }
+
+    def _surrounding(self, surah: int, ayah: int) -> list[dict]:
+        return [
+            {"surah": v["surah"], "ayah": v["ayah"],
+             "text": v.get("text_uthmani") or v.get("text_clean", "")}
+            for v in self.db.get_surah(surah)
+            if abs(v["ayah"] - ayah) <= SURROUNDING_CONTEXT
+        ]
+
+    def _enter_tracking(self, verse: dict) -> None:
+        self.tracking_verse = verse
+        self.tracking_verse_words = verse["text_clean"].split()
+        self.tracking_last_word_idx = -1
+        self.tracking_progress_established = False
+        self.stale_cycles = 0
+        self.last_tracking_result = None
+
+    def _exit_tracking(self, reason: str) -> None:
+        if self.tracking_pending_emission and self.pre_advance_snapshot:
+            snap = self.pre_advance_snapshot
+            self.last_emitted_ref = snap["emitted_ref"]
+            self.last_emitted_text = snap["emitted_text"]
+            self.prev_emitted_ref = snap["prev_emitted_ref"]
+            self.prev_emitted_text = snap["prev_emitted_text"]
+            self.last_commit_evidence = snap["commit_evidence"]
+            self.consecutive_auto_advances = 0
+            self._diag(type="pending_emission", action="dropped",
+                       ref=None, reason=reason)
+        self._clear_pending_emission()
+        self.tracking_verse = None
+        self.tracking_verse_words = []
+        self.tracking_last_word_idx = -1
+        self.tracking_progress_established = False
+        self.stale_cycles = 0
+        self.last_tracking_result = None
+
+    def _clear_pending_emission(self) -> None:
+        self.tracking_pending_emission = False
+        self.pending_emission_message = None
+        self.pending_emission_margin = math.inf
+        self.pre_advance_snapshot = None
+
+    def _rollback_weak_commit(self, reason: str) -> None:
+        if (
+            self.last_commit_evidence and self.last_commit_evidence.strong
+        ) or self.tracking_progress_established:
+            return
+        self.last_emitted_ref = self.prev_emitted_ref
+        self.last_emitted_text = self.prev_emitted_text
+        self.last_commit_evidence = None
+        self._diag(
+            type="rollback", reason=reason,
+            restored_ref=ref_key(*self.prev_emitted_ref)
+            if self.prev_emitted_ref else None,
+        )
+
+    def _retain_tail_after_commit(self) -> None:
+        """Keep only the last ~0.75-2 s of audio after a strong commit so
+        the next verse's onset survives the trim (tracker.ts:1879-1892)."""
+        if self.last_commit_evidence and self.last_commit_evidence.strong:
+            keep_sec = (
+                self.config.tail_after_pending_advance_sec
+                if self.tracking_pending_emission
+                else self.config.tail_after_commit_sec
+            )
+            keep = min(len(self.utterance_audio), self.config.samples(keep_sec))
+            self.utterance_audio = self.utterance_audio[-keep:] if keep else (
+                np.zeros(0, dtype=np.float32)
+            )
+        self.new_audio_count = 0
+        self.silence_samples = 0
+        self.utterance_has_speech = len(self.utterance_audio) > 0
+        self.did_final_flush = False
+
+    def _reset_utterance(self) -> None:
+        self.utterance_audio = np.zeros(0, dtype=np.float32)
+        self.new_audio_count = 0
+        self.silence_samples = 0
+        self.utterance_has_speech = False
+        self.did_final_flush = False
+        self.pending_leader = None
+        self.last_raw_transcript = None
+        self.hypothesis.reset()
+
+    def _is_continuation(self, surah: int, ayah: int) -> bool:
+        if not self.last_emitted_ref:
+            return False
+        return (
+            surah == self.last_emitted_ref[0]
+            and self.last_emitted_ref[1] + 1 <= ayah <= self.last_emitted_ref[1] + 3
+        )
+
+    @staticmethod
+    def _finite(x: float) -> float | None:
+        return round(x, 3) if math.isfinite(x) else None
+
+    def _diag(self, **event) -> None:
+        if self.on_diagnostic:
+            self.on_diagnostic(event)
