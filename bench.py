@@ -46,10 +46,17 @@ def main() -> None:
     ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
+        if config.quant != "int4":
+            from tilawa_tpu.train.quantize import quantize_variables, quantized_config
+
+            variables = quantize_variables(variables)
+            config = quantized_config(config)
         runtime = EncoderRuntime(config, variables)
         weights = str(ckpt)
     else:
-        runtime = EncoderRuntime(FastConformerConfig.large())
+        # Champion configuration: int4 packed weights, Pallas dequant
+        # matmuls (c2c-direct-mixed-tta equivalent).
+        runtime = EncoderRuntime(FastConformerConfig.large(quant="int4"))
         weights = "random-init (latency-representative; trained ckpt not present)"
     recognizer = Recognizer(runtime, tta=True)
 

@@ -167,6 +167,78 @@ class OracleExperiment:
         return 0
 
 
+class LMFusionExperiment(OracleExperiment):
+    """Champion stack + n-gram shallow-fusion rescoring of the candidate
+    list (reference: experiments/fastconformer-quran-lm-fusion/run.py —
+    KenLM alpha 0.7 / beta 1.0; our LM is text/ngram.py over the same
+    corpus asset). Oracle acoustics until trained weights exist."""
+
+    def __init__(self, alpha: float = 0.7, beta: float = 1.0, **kw):
+        super().__init__(**kw)
+        from tilawa_tpu.text.ngram import NGramLM
+
+        self.lm = NGramLM.from_corpus_file(order=5)
+        self.alpha, self.beta = alpha, beta
+
+    def predict(self, path: str) -> dict:
+        from tilawa_tpu.text.ngram import lm_rescore
+
+        result = super().predict(path)
+        cands = result.get("candidates") or []
+        if len(cands) > 1:
+            texts = []
+            for c in cands:
+                span = self.db.span_text(
+                    c["surah"], c["ayah"], c.get("ayah_end") or c["ayah"]
+                )
+                texts.append({**c, "text": span or "", "score": c["score"]})
+            fused = lm_rescore(texts, self.lm, self.alpha, self.beta)
+            best = fused[0]
+            result = {
+                **result,
+                "surah": best["surah"],
+                "ayah": best["ayah"],
+                "ayah_end": best.get("ayah_end") or best["ayah"],
+                "candidates": fused[:5],
+            }
+        return result
+
+
+class PhonemeExperiment:
+    """Phoneme pipeline over synthetic phoneme acoustics (reference:
+    experiments/fastconformer-phoneme/run.py — 69-token CTC head +
+    mispronunciation detection; trained weights pending)."""
+
+    def __init__(self):
+        from tilawa_tpu.pipeline.phoneme import PhonemeOracleRuntime, PhonemePipeline
+
+        self.runtime = PhonemeOracleRuntime(noise=0.3)
+        self.pipeline = PhonemePipeline(self.runtime, store=self.runtime.store)
+
+    def transcribe(self, path: str) -> str:
+        raise NotImplementedError(
+            "phoneme transcribe requires trained weights or oracle refs"
+        )
+
+    def detect_mispronunciations(self, surah: int, ayah: int) -> dict:
+        lp, t = self.runtime.render(surah, ayah)
+        predicted = self.runtime.store.decode_logprobs(lp, t)
+        return self.runtime.store.detect_mispronunciations(predicted, surah, ayah)
+
+    def model_size(self) -> int:
+        return 0
+
+
+@register("fastconformer-quran-lm-fusion")
+def _lm_fusion():
+    return LMFusionExperiment(error_rate=0.10, noise=1.0)
+
+
+@register("fastconformer-phoneme")
+def _fastconformer_phoneme():
+    return PhonemeExperiment()
+
+
 @register("oracle")
 def _oracle():
     return OracleExperiment(error_rate=0.0, noise=0.3)
