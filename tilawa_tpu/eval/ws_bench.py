@@ -1,0 +1,131 @@
+"""Live WS endpoint benchmark: replay corpus audio against a running
+server and score the emitted verse sequence.
+
+Parity with the reference's endpoint benchmark (reference:
+scripts/benchmark_streaming_endpoint.py — replay at 300 ms chunks plus a
+4 s silence tail so the final-flush path fires, score with
+score_sequence).
+
+Usage (server already running):
+  python -m tilawa_tpu.eval.ws_bench --port 8765 --corpus v1 --limit 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+
+import numpy as np
+
+from tilawa_tpu.data.audio import UnsupportedAudioFormat, load_audio
+from tilawa_tpu.eval.metrics import score_sequence
+from tilawa_tpu.eval.runner import load_manifest
+from tilawa_tpu.streaming import ws as wslib
+
+SAMPLE_RATE = 16000
+CHUNK_SECONDS = 0.3
+TAIL_SILENCE_SECONDS = 4.0
+
+
+async def run_sample(
+    host: str, port: int, audio: np.ndarray, realtime: bool = False
+) -> list[dict]:
+    sock = await wslib.connect(host, port)
+    messages: list[dict] = []
+    chunk = int(SAMPLE_RATE * CHUNK_SECONDS)
+    padded = np.concatenate(
+        [audio, np.zeros(int(SAMPLE_RATE * TAIL_SILENCE_SECONDS), np.float32)]
+    )
+
+    async def reader():
+        try:
+            while True:
+                msg = await sock.receive()
+                if msg.is_text:
+                    messages.append(json.loads(msg.text))
+        except wslib.ConnectionClosed:
+            pass
+
+    task = asyncio.create_task(reader())
+    for i in range(0, len(padded), chunk):
+        await sock.send_bytes(padded[i:i + chunk].astype(np.float32).tobytes())
+        if realtime:
+            await asyncio.sleep(CHUNK_SECONDS)
+    # grace period for the server to flush
+    await asyncio.sleep(1.0)
+    await sock.close()
+    await asyncio.wait_for(task, timeout=5)
+    return messages
+
+
+def emissions_from_messages(messages: list[dict]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for m in messages:
+        if m.get("type") == "verse_match":
+            end = m.get("ayah_end") or m["ayah"]
+            for a in range(m["ayah"], end + 1):
+                ref = (m["surah"], a)
+                if ref not in out:
+                    out.append(ref)
+    return out
+
+
+async def amain(args) -> dict:
+    samples, corpus_dir = load_manifest(args.corpus)
+    if args.category:
+        samples = [s for s in samples if s["category"] == args.category]
+    if args.limit:
+        samples = samples[: args.limit]
+
+    totals = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
+    n = 0
+    latencies = []
+    for s in samples:
+        path = corpus_dir / s["file"]
+        if not path.exists():
+            continue
+        try:
+            audio = load_audio(path)
+        except UnsupportedAudioFormat:
+            continue
+        t0 = time.perf_counter()
+        messages = await run_sample(args.host, args.port, audio, args.realtime)
+        latencies.append(time.perf_counter() - t0)
+        expected = [
+            (e["surah"], e["ayah"])
+            for e in s.get("expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}])
+        ]
+        got = emissions_from_messages(messages)
+        sc = score_sequence(expected, got)
+        for k in totals:
+            totals[k] += sc[k]
+        n += 1
+        print(f"  {s['id']}: expected {expected} got {got} "
+              f"seq_acc={sc['sequence_accuracy']:.2f}")
+
+    result = {
+        "n": n,
+        **{k: round(v / n, 4) if n else 0.0 for k, v in totals.items()},
+        "mean_wall_s": round(sum(latencies) / n, 3) if n else None,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="live WS endpoint benchmark")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--corpus", default="v1")
+    parser.add_argument("--category", default=None)
+    parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--realtime", action="store_true",
+                        help="pace chunks at real time instead of flat out")
+    args = parser.parse_args(argv)
+    asyncio.run(amain(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,15 @@ from tilawa_tpu.streaming.session import RecitationSession
 
 
 class RecitationServer:
-    def __init__(self, transcribe, db: QuranDB | None = None):
+    def __init__(self, transcribe, db: QuranDB | None = None,
+                 storage_dir: str = "storage", backend: str = "real"):
+        from tilawa_tpu.streaming.api import ApiService
+
         self.transcribe = transcribe
         self.db = db or QuranDB()
         self._lock = asyncio.Lock()
+        self.api = ApiService(db=self.db, storage_dir=storage_dir,
+                              backend=backend)
 
     async def handle(self, sock: wslib.WebSocket, path: str) -> None:
         loop = asyncio.get_event_loop()
@@ -80,9 +85,12 @@ async def _amain(host: str, port: int, backend: str):
         transcribe = _real_transcribe()
     else:
         raise SystemExit(f"unknown backend {backend!r}")
-    server = RecitationServer(transcribe)
-    srv = await wslib.serve(server.handle, host, port)
-    print(f"tilawa-tpu WS server on ws://{host}:{port}/ws")
+    server = RecitationServer(transcribe, backend=backend)
+    srv = await wslib.serve(server.handle, host, port,
+                            http_handler=server.api.handle)
+    print(f"tilawa-tpu WS server on ws://{host}:{port}/ws "
+          f"(REST: /api/status, /api/surah/{{n}}, /api/reports, "
+          f"/api/diagnostics, /admin)")
     async with srv:
         await srv.serve_forever()
 

@@ -149,17 +149,26 @@ class WebSocket:
 
 
 async def serve(handler, host: str = "127.0.0.1", port: int = 8765,
-                path: str = "/ws"):
-    """Start a WebSocket server; handler(ws: WebSocket, path: str)."""
+                path: str = "/ws", http_handler=None):
+    """Start a WebSocket server; handler(ws: WebSocket, path: str).
+
+    Non-upgrade HTTP requests are routed to `http_handler(method, path,
+    headers, body) -> (status:int, content_type:str, body:bytes)` when
+    given (the REST surface: /api/status, /api/surah/{n}, /api/reports,
+    /api/diagnostics — reference: web/server.py:1038-1059 +
+    web/frontend/server/index.ts:25-44), else answered 400."""
 
     async def on_connect(reader, writer):
         try:
             request = await reader.readuntil(b"\r\n\r\n")
-        except (asyncio.IncompleteReadError, ConnectionResetError):
+        except (asyncio.IncompleteReadError, asyncio.LimitOverrunError,
+                ConnectionResetError):
             writer.close()
             return
         lines = request.decode("latin-1").split("\r\n")
-        req_path = lines[0].split(" ")[1] if len(lines[0].split(" ")) > 1 else "/"
+        parts = lines[0].split(" ")
+        method = parts[0] if parts else "GET"
+        req_path = parts[1] if len(parts) > 1 else "/"
         headers = {}
         for line in lines[1:]:
             if ":" in line:
@@ -167,6 +176,31 @@ async def serve(handler, host: str = "127.0.0.1", port: int = 8765,
                 headers[k.strip().lower()] = v.strip()
         key = headers.get("sec-websocket-key")
         if headers.get("upgrade", "").lower() != "websocket" or not key:
+            if http_handler is not None:
+                try:
+                    body = b""
+                    clen = int(headers.get("content-length", "0") or 0)
+                    if clen > 0:
+                        body = await reader.readexactly(clen)
+                    status, ctype, payload = await http_handler(
+                        method, req_path, headers, body
+                    )
+                except Exception:
+                    status, ctype, payload = 500, "text/plain", b"internal error"
+                reason = {200: "OK", 201: "Created", 404: "Not Found",
+                          400: "Bad Request", 500: "Internal Server Error"}.get(
+                    status, "OK")
+                writer.write(
+                    (
+                        f"HTTP/1.1 {status} {reason}\r\n"
+                        f"Content-Type: {ctype}\r\n"
+                        f"Content-Length: {len(payload)}\r\n"
+                        "Connection: close\r\n\r\n"
+                    ).encode("latin-1") + payload
+                )
+                await writer.drain()
+                writer.close()
+                return
             writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
             await writer.drain()
             writer.close()
