@@ -93,12 +93,13 @@ async def amain(args) -> dict:
         t0 = time.perf_counter()
         messages = await run_sample(args.host, args.port, audio, args.realtime)
         latencies.append(time.perf_counter() - t0)
-        expected = [
-            (e["surah"], e["ayah"])
-            for e in s.get("expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}])
-        ]
+        expected = s.get(
+            "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]
+        )
         got = emissions_from_messages(messages)
-        sc = score_sequence(expected, got)
+        sc = score_sequence(
+            expected, [{"surah": g[0], "ayah": g[1]} for g in got]
+        )
         for k in totals:
             totals[k] += sc[k]
         n += 1

@@ -81,9 +81,18 @@ class Recognizer:
 
     # ------------------------------------------------------------- predict
 
-    def _predict_from_logprobs(self, log_probs: np.ndarray, t_valid: int) -> dict:
+    def decode_ids(self, ids: np.ndarray) -> str:
+        deduped = collapse_ctc(np.asarray(ids), self.runtime.blank_id)
+        if not deduped:
+            return ""
+        return normalize_arabic(self.tokenizer.decode(deduped).strip())
+
+    def _predict_from_logprobs(
+        self, log_probs: np.ndarray, t_valid: int, transcript: str | None = None
+    ) -> dict:
         t0 = time.perf_counter()
-        transcript = self.greedy_decode(log_probs, t_valid)
+        if transcript is None:
+            transcript = self.greedy_decode(log_probs, t_valid)
         t1 = time.perf_counter()
         if not transcript.strip():
             return _empty("")
@@ -145,21 +154,39 @@ class Recognizer:
 
     def predict_audio(self, audio: np.ndarray) -> dict:
         t0 = time.perf_counter()
-        lp, t_valid = self.runtime.log_probs(audio)
+        device_path = hasattr(self.runtime, "forward")
+        if device_path:
+            # Device-resident: fetch only argmax ids; log-probs stay on the
+            # TPU for the rerank (tunnel round trips are the latency floor).
+            lp, ids, t_valid = self.runtime.forward(audio)
+            transcript = self.decode_ids(ids)
+        else:
+            lp, t_valid = self.runtime.log_probs(audio)
+            transcript = None
         t1 = time.perf_counter()
         if PROFILE:
             self.last_profile = {"forward": t1 - t0}
-        result = self._predict_from_logprobs(lp, t_valid)
+        result = self._predict_from_logprobs(lp, t_valid, transcript)
         if not self.tta or result["score"] >= TTA_SKIP_THRESHOLD:
             return result
 
         # Hard sample: batched 2-way perturbed pass (one dispatch).
         perturbed = [speed_perturb(audio, f) for f in TTA_FACTORS]
-        lps, t_valids = self.runtime.log_probs_batch(perturbed)
-        preds = [
-            self._predict_from_logprobs(lps[i], int(t_valids[i]))
-            for i in range(len(perturbed))
-        ]
+        if device_path:
+            lps, t_valids, ids_b = self.runtime.forward_batch(perturbed)
+            preds = [
+                self._predict_from_logprobs(
+                    lps[i], int(t_valids[i]),
+                    self.decode_ids(ids_b[i, : int(t_valids[i])]),
+                )
+                for i in range(len(perturbed))
+            ]
+        else:
+            lps, t_valids = self.runtime.log_probs_batch(perturbed)
+            preds = [
+                self._predict_from_logprobs(lps[i], int(t_valids[i]))
+                for i in range(len(perturbed))
+            ]
         all_preds = [preds[0], result, preds[1]]  # 0.9x, 1.0x, 1.1x
         keys = [(p["surah"], p["ayah"]) for p in all_preds]
 

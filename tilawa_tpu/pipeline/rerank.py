@@ -104,7 +104,16 @@ def score_token_lists(
     ]
     feasible.sort(key=lambda i: len(token_lists[i]))
     if feasible:
-        lp_padded, t = pad_frames(np.asarray(log_probs[:t_valid], dtype=np.float32))
+        if isinstance(log_probs, jnp.ndarray) and not isinstance(
+            log_probs, np.ndarray
+        ):
+            # Device-resident log-probs from EncoderRuntime.forward: already
+            # frame-bucket padded on device; no host copy happens here.
+            lp_padded, t = log_probs, t_valid
+        else:
+            lp_padded, t = pad_frames(
+                np.asarray(log_probs[:t_valid], dtype=np.float32)
+            )
         scores = _score_feasible(lp_padded, t, token_lists, feasible, blank_id)
         for j, i in enumerate(feasible):
             out[i] = scores[j]

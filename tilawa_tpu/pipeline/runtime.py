@@ -68,6 +68,28 @@ class EncoderRuntime:
             )
         )
 
+        def apply_decode(variables, audio, lengths):
+            lp, enc_lens = self.model.apply(
+                variables, audio, lengths,
+                deterministic=True, use_running_average=True,
+            )
+            # Pad frames to the rerank bucket inside the same program and
+            # reduce the argmax on device: the host then fetches only the
+            # tiny id matrix while the log-probs stay device-resident for
+            # the CTC rerank — on a tunneled backend every host<->device
+            # copy is a network round trip, and [T, 1025] f32 is the only
+            # big tensor in the loop.
+            from tilawa_tpu.ops.ctc import FRAME_BUCKETS, _next_bucket
+
+            t = lp.shape[1]
+            t_pad = _next_bucket(t, FRAME_BUCKETS)
+            if t_pad != t:
+                lp = jnp.pad(lp, ((0, 0), (0, t_pad - t), (0, 0)))
+            ids = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+            return lp, enc_lens, ids
+
+        self._apply_decode = jax.jit(apply_decode)
+
     @property
     def blank_id(self) -> int:
         return self.config.blank_id
@@ -94,9 +116,32 @@ class EncoderRuntime:
         )
         return np.asarray(lp), np.asarray(enc_lens)
 
+    def forward(self, audio: np.ndarray):
+        """[N] waveform → (lp_device [T_bucket, V] jax.Array still on the
+        device, ids [T_enc] np.int32, t_valid int). Only ids/lengths cross
+        the host boundary; feed lp_device straight to the rerank."""
+        lp, lens, ids = self.forward_batch([audio])
+        t_valid = int(lens[0])
+        return lp[0], ids[0, :t_valid], t_valid
+
+    def forward_batch(self, audios: list[np.ndarray]):
+        """Batched forward: (lp_device [B, T_bucket, V], enc_lens np [B],
+        ids np [B, T_enc])... returned as (lp, lens, ids)."""
+        n_max = max(len(a) for a in audios)
+        n_pad = bucket_length(n_max)
+        batch = np.zeros((len(audios), n_pad), dtype=np.float32)
+        lengths = np.zeros(len(audios), dtype=np.int32)
+        for i, a in enumerate(audios):
+            batch[i, : len(a)] = a
+            lengths[i] = len(a)
+        lp, enc_lens, ids = self._apply_decode(
+            self.variables, jnp.asarray(batch), jnp.asarray(lengths)
+        )
+        return lp, np.asarray(enc_lens), np.asarray(ids)
+
     def warmup(self, bucket_samples: tuple[int, ...] = (64000, 128000, 256000)):
         for n in bucket_samples:
-            self.log_probs(np.zeros(n, dtype=np.float32))
+            self.forward(np.zeros(n, dtype=np.float32))
 
 
 class OracleRuntime:
