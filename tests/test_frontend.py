@@ -73,3 +73,44 @@ def test_mel_filterbank_shape_and_coverage():
     assert fb.shape == (257, 80)
     assert (fb >= 0).all()
     assert (fb.sum(axis=0) > 0).all()  # every filter has support
+
+
+class TestFusedPallasMel:
+    def test_matches_xla_path(self):
+        """Fused kernel (interpret mode) vs the rfft XLA path."""
+        import numpy as np
+        import jax.numpy as jnp
+        from tilawa_tpu.ops.frontend import (
+            LOG_GUARD, PREEMPH, fused_log_mel, log_mel_spectrogram,
+        )
+
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+        lengths = jnp.array([16000, 12000], jnp.int32)
+
+        ref_feats, ref_lens = log_mel_spectrogram(
+            jnp.asarray(audio), lengths, use_pallas=False
+        )
+        a = jnp.asarray(audio)
+        pre = jnp.concatenate(
+            [a[:, :1], a[:, 1:] - PREEMPH * a[:, :-1]], axis=1
+        )
+        logmel = np.asarray(fused_log_mel(pre, eps=LOG_GUARD, interpret=True))
+
+        # reconstruct the unnormalized reference log-mels for comparison
+        import jax
+        from tilawa_tpu.ops.frontend import (
+            N_FFT, WIN_LENGTH, HOP_LENGTH, hann_window, mel_filterbank,
+            num_frames,
+        )
+        t = num_frames(16000)
+        idx = (
+            np.arange(t)[:, None] * HOP_LENGTH + np.arange(WIN_LENGTH)[None, :]
+        )
+        frames = np.asarray(pre)[:, idx] * hann_window()
+        spec = np.fft.rfft(frames, n=N_FFT, axis=-1)
+        power = spec.real ** 2 + spec.imag ** 2
+        ref_logmel = np.log(power @ mel_filterbank() + LOG_GUARD)
+
+        assert logmel.shape == ref_logmel.shape
+        np.testing.assert_allclose(logmel, ref_logmel, atol=2e-3, rtol=2e-3)

@@ -144,3 +144,16 @@ def test_continuation_commit_after_first(quran_db):
     out = collect(s, [loud(2.5)])
     vm = [m for m in out if m["type"] == "verse_match"]
     assert vm and (vm[0]["surah"], vm[0]["ayah"]) == (112, 3)
+
+
+class TestTokenRoundTrip:
+    def test_precomputed_ids_round_trip(self):
+        """Asset integrity: precomputed verse token ids decode back to the
+        verse text (reference: quran-text-adapter.ts:54-75)."""
+        from tilawa_tpu.data.quran import QuranDB
+        from tilawa_tpu.data.token_store import TokenStore
+
+        store = TokenStore.load_default()
+        db = QuranDB()
+        problems = store.validate_round_trip(db, sample_every=300)
+        assert problems == []

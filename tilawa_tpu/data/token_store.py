@@ -90,6 +90,38 @@ class TokenStore:
             self._by_text[text] = hit
         return hit
 
+    def validate_round_trip(self, db, sample_every: int = 500) -> list[str]:
+        """Decode a sample of precomputed verse token ids back to text and
+        compare against the stored verse text (asset-integrity check;
+        reference: worker/quran-text-adapter.ts:54-75 round-trip sampling).
+        Returns a list of mismatch descriptions (empty == healthy)."""
+        from tilawa_tpu.data.normalizer import normalize_arabic
+
+        problems: list[str] = []
+        keys = sorted(self._by_key)
+        for key in keys[::max(sample_every, 1)]:
+            surah, ayah, ayah_end = (int(x) for x in key.split(":"))
+            if ayah_end != ayah:
+                continue  # span texts are derived; verse rows are the source
+            verse = db.get_verse(surah, ayah)
+            if not verse:
+                continue
+            decoded = normalize_arabic(
+                self.tokenizer.decode(self._by_key[key]).strip()
+            )
+            expected = normalize_arabic(verse["text_clean"])
+            if decoded == expected:
+                continue
+            # Characters outside the BPE vocab decode to the unk marker —
+            # expected for a handful of rare codepoints; anything beyond a
+            # near-perfect match after dropping unks is a real corruption.
+            from tilawa_tpu.text.levenshtein import ratio
+
+            cleaned = " ".join(decoded.replace("⁇", " ").split())
+            if ratio(cleaned, expected) < 0.97:
+                problems.append(f"{key}: {decoded!r} != {expected!r}")
+        return problems
+
     def ids_for_candidate(self, cand: dict) -> list[int]:
         """Token ids for a candidate dict ({surah, ayah, ayah_end?, ctc_text/
         text_clean}) — precomputed key first, tokenize-on-demand fallback."""

@@ -379,7 +379,12 @@ class FastConformerCTC(nn.Module):
         use_running_average: bool = True,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
-        feats, feat_lengths = log_mel_spectrogram(audio, lengths)
+        # Fused Pallas frontend on real TPUs; XLA path elsewhere (CPU tests,
+        # virtual meshes) — bit-compatible numerics either way.
+        use_pallas_mel = cfg.use_pallas and jax.default_backend() == "tpu"
+        feats, feat_lengths = log_mel_spectrogram(
+            audio, lengths, use_pallas=use_pallas_mel
+        )
         x = ConvSubsampling(cfg, name="subsampling")(feats, feat_lengths)
         enc_lengths = subsampled_length(feat_lengths, cfg.subsampling_factor)
         t = x.shape[1]

@@ -83,17 +83,131 @@ def frames_for_length(length):
     return jnp.maximum(0, 1 + (length - WIN_LENGTH) // HOP_LENGTH)
 
 
-@functools.partial(jax.jit, static_argnames=("eps",))
+# ---------------------------------------------------------------------------
+# Fused Pallas frontend: framing + windowed DFT + power + mel + log in ONE
+# kernel. On the MXU a dense DFT-as-matmul beats an FFT at WIN=400 (two
+# [TT,400]x[400,F] matmuls), and fusing keeps the [T, F] power spectrum out
+# of HBM entirely — only the [T, 80] log-mels are ever written back.
+# ---------------------------------------------------------------------------
+
+_TT = 128                       # frames per grid tile
+_F_PAD = 384                    # 257 rfft bins padded to a lane multiple
+_CHUNK_ROWS = _TT + 2           # 160-sample rows covering TT overlapping frames
+_CHUNK = _CHUNK_ROWS * HOP_LENGTH
+
+
+@functools.lru_cache(maxsize=2)
+def _dft_matrices(eps_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Windowed real-DFT matrices [WIN, F_PAD] (Hann folded in; columns
+    beyond the 257 real bins are zero so padded freqs contribute nothing)."""
+    n_freqs = N_FFT // 2 + 1
+    t = np.arange(WIN_LENGTH, dtype=np.float64)[:, None]
+    k = np.arange(n_freqs, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * k / N_FFT
+    win = hann_window().astype(np.float64)[:, None]
+    real = np.zeros((WIN_LENGTH, _F_PAD), dtype=np.float32)
+    imag = np.zeros((WIN_LENGTH, _F_PAD), dtype=np.float32)
+    real[:, :n_freqs] = (win * np.cos(ang)).astype(np.float32)
+    imag[:, :n_freqs] = (win * np.sin(ang)).astype(np.float32)
+    return real, imag
+
+
+@functools.lru_cache(maxsize=2)
+def _fb_padded() -> np.ndarray:
+    fb = mel_filterbank()
+    out = np.zeros((_F_PAD, N_MELS), dtype=np.float32)
+    out[: fb.shape[0]] = fb
+    return out
+
+
+def _mel_kernel(audio_ref, dftr_ref, dfti_ref, fb_ref, out_ref, scratch, sem,
+                *, eps: float):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    start = i * (_TT * HOP_LENGTH)
+    dma = pltpu.make_async_copy(
+        audio_ref.at[b, pl.ds(start, _CHUNK)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+    rows = scratch[:].reshape(_CHUNK_ROWS, HOP_LENGTH)
+    # WIN = 400 = 160 + 160 + 80: frame t = rows[t] ++ rows[t+1] ++ rows[t+2][:80]
+    frames = jnp.concatenate(
+        [
+            rows[0:_TT],
+            rows[1:_TT + 1],
+            rows[2:_TT + 2, : WIN_LENGTH - 2 * HOP_LENGTH],
+        ],
+        axis=1,
+    )  # [TT, WIN]
+    real = jnp.dot(frames, dftr_ref[:], preferred_element_type=jnp.float32)
+    imag = jnp.dot(frames, dfti_ref[:], preferred_element_type=jnp.float32)
+    power = real * real + imag * imag           # [TT, F_PAD]
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = jnp.log(mel + eps)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_log_mel(
+    pre: jnp.ndarray, eps: float = LOG_GUARD, interpret: bool = False
+) -> jnp.ndarray:
+    """Pre-emphasized waveform [B, N] → log-mels [B, T, 80] via the fused
+    Pallas kernel (normalization stays outside; it needs true lengths)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n = pre.shape
+    t_frames = num_frames(n)
+    t_tiles = max(1, -(-t_frames // _TT))
+    n_need = (t_tiles - 1) * _TT * HOP_LENGTH + _CHUNK
+    if n_need > n:
+        pre = jnp.pad(pre, ((0, 0), (0, n_need - n)))
+    dftr, dfti = _dft_matrices()
+    out = pl.pallas_call(
+        functools.partial(_mel_kernel, eps=eps),
+        grid=(b, t_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _TT, N_MELS), lambda bb, ii: (bb, ii, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_tiles * _TT, N_MELS), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_CHUNK,), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t_tiles * _TT * WIN_LENGTH * _F_PAD * 2
+            + 2 * b * t_tiles * _TT * _F_PAD * N_MELS,
+            bytes_accessed=pre.size * 4 + b * t_tiles * _TT * N_MELS * 4,
+            transcendentals=b * t_tiles * _TT * N_MELS,
+        ),
+        interpret=interpret,
+    )(pre, jnp.asarray(dftr), jnp.asarray(dfti), jnp.asarray(_fb_padded()))
+    return out[:, :t_frames]
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "use_pallas"))
 def log_mel_spectrogram(
     audio: jnp.ndarray,    # [B, N] float32
     lengths: jnp.ndarray,  # [B] int32 — valid sample counts
     eps: float = LOG_GUARD,
+    use_pallas: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batched waveform → normalized log-mel features.
 
     Returns (features [B, T, n_mels] float32, feat_lengths [B] int32).
     Frames beyond a sample's true length are zeroed; per-feature
-    normalization statistics use only valid frames.
+    normalization statistics use only valid frames. use_pallas=True routes
+    framing+DFT+power+mel+log through the fused kernel above.
     """
     b, n = audio.shape
     t_frames = num_frames(n)
@@ -101,21 +215,25 @@ def log_mel_spectrogram(
     # Preemphasis: y[0] = x[0], y[t] = x[t] - c*x[t-1].
     pre = jnp.concatenate([audio[:, :1], audio[:, 1:] - PREEMPH * audio[:, :-1]], axis=1)
 
-    # Frame: [B, T, WIN]
-    idx = (
-        jnp.arange(t_frames)[:, None] * HOP_LENGTH + jnp.arange(WIN_LENGTH)[None, :]
-    )
-    frames = pre[:, idx]  # [B, T, WIN]
-    frames = frames * jnp.asarray(hann_window())
+    if use_pallas:
+        logmel = fused_log_mel(pre, eps=eps)
+    else:
+        # Frame: [B, T, WIN]
+        idx = (
+            jnp.arange(t_frames)[:, None] * HOP_LENGTH
+            + jnp.arange(WIN_LENGTH)[None, :]
+        )
+        frames = pre[:, idx]  # [B, T, WIN]
+        frames = frames * jnp.asarray(hann_window())
 
-    # Zero-padded FFT → power spectrum → mel (one MXU matmul).
-    spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, T, F]
-    mel = jnp.einsum(
-        "btf,fm->btm", power, jnp.asarray(mel_filterbank()),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    logmel = jnp.log(mel + eps)
+        # Zero-padded FFT → power spectrum → mel (one MXU matmul).
+        spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # [B, T, F]
+        mel = jnp.einsum(
+            "btf,fm->btm", power, jnp.asarray(mel_filterbank()),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        logmel = jnp.log(mel + eps)
 
     # Valid-frame mask from true lengths.
     feat_lengths = frames_for_length(lengths).astype(jnp.int32)

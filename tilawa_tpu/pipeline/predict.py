@@ -211,9 +211,42 @@ class Recognizer:
 
     # ---------------------------------------------------------- transcribe
 
+    LONG_CHUNK_S = 25.0
+    LONG_OVERLAP_S = 1.0
+
     def transcribe_audio(self, audio: np.ndarray) -> str:
+        if len(audio) > self.LONG_CHUNK_S * 16000:
+            return self._transcribe_long(audio)
+        if hasattr(self.runtime, "forward"):
+            _lp, ids, _t = self.runtime.forward(audio)
+            return self.decode_ids(ids)
         lp, t_valid = self.runtime.log_probs(audio)
         return self.greedy_decode(lp, t_valid)
+
+    def _transcribe_long(self, audio: np.ndarray) -> str:
+        """Long-audio policy: 25 s windows with 1 s overlap, each decoded
+        independently and concatenated (reference: w2v-phonemes long-file
+        chunking, EXPERIMENTS.md:245 — the windowing keeps the O(T^2)
+        attention cost bounded; SURVEY.md §5.7). Chunks run as ONE batched
+        bucket-padded dispatch instead of a Python loop of forwards."""
+        sr = 16000
+        step = int((self.LONG_CHUNK_S - self.LONG_OVERLAP_S) * sr)
+        chunk = int(self.LONG_CHUNK_S * sr)
+        pieces = [audio[s:s + chunk] for s in range(0, max(len(audio) - 1, 1), step)]
+        pieces = [p for p in pieces if len(p) >= sr // 2] or [audio[:chunk]]
+        if hasattr(self.runtime, "forward_batch"):
+            _lps, t_valids, ids_b = self.runtime.forward_batch(pieces)
+            texts = [
+                self.decode_ids(ids_b[i, : int(t_valids[i])])
+                for i in range(len(pieces))
+            ]
+        else:
+            lps, t_valids = self.runtime.log_probs_batch(pieces)
+            texts = [
+                self.greedy_decode(lps[i], int(t_valids[i]))
+                for i in range(len(pieces))
+            ]
+        return " ".join(t for t in texts if t).strip()
 
     def transcribe(self, audio_path: str | Path) -> str:
         return self.transcribe_audio(load_audio(audio_path))
