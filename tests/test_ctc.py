@@ -158,3 +158,43 @@ def test_pad_candidates_bucketing():
         _next_bucket(2, CAND_BUCKETS), _next_bucket(40, TOKEN_BUCKETS)
     )
     assert lengths[0] == 40 and lengths[1] == 10 and lengths[2:].sum() == 0
+
+
+class TestStablePrefix:
+    def _render(self, ids, v=30, blank=29, fpt=3):
+        import numpy as np
+        t = len(ids) * fpt + 6
+        lp = np.full((t, v), -15.0, dtype=np.float32)
+        f = 0
+        for tok in ids:
+            for _ in range(fpt - 1):
+                lp[f, blank] = 0.0; f += 1
+            lp[f, tok] = 0.0; f += 1
+        while f < t:
+            lp[f, blank] = 0.0; f += 1
+        return lp - np.log(np.exp(lp).sum(-1, keepdims=True)), t
+
+    def test_prefers_longest_supported_prefix(self):
+        from tilawa_tpu.pipeline.rerank import choose_longest_stable_prefix
+
+        seq = [1, 2, 3, 4, 5]
+        lp, t = self._render(seq)
+        prefixes = [seq[:k] for k in (1, 2, 3, 4, 5)]
+        best = choose_longest_stable_prefix(lp, t, prefixes, blank_id=29)
+        assert best == 4  # the full sequence
+
+    def test_unsupported_suffix_not_chosen(self):
+        from tilawa_tpu.pipeline.rerank import choose_longest_stable_prefix
+
+        lp, t = self._render([1, 2, 3])
+        prefixes = [[1, 2], [1, 2, 3], [1, 2, 3, 7, 8, 9]]
+        best = choose_longest_stable_prefix(lp, t, prefixes, blank_id=29)
+        assert best == 1
+
+    def test_empty(self):
+        from tilawa_tpu.pipeline.rerank import choose_longest_stable_prefix
+        import numpy as np
+
+        assert choose_longest_stable_prefix(
+            np.zeros((4, 30), np.float32), 4, [], blank_id=29
+        ) is None

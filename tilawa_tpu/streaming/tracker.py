@@ -1204,20 +1204,14 @@ class RecitationTracker:
                 idxs.append(i)
         if not prefixes:
             return -1
-        from tilawa_tpu.pipeline.rerank import score_token_lists
+        from tilawa_tpu.pipeline.rerank import choose_longest_stable_prefix
 
-        scores = score_token_lists(
+        best = choose_longest_stable_prefix(
             result.log_probs, result.t_valid, prefixes,
+            tolerance=self.config.tracking_prefix_tolerance,
             blank_id=result.log_probs.shape[-1] - 1,
         )
-        finite = [(float(s), i) for s, i in zip(scores, idxs) if math.isfinite(s)]
-        if not finite:
-            return -1
-        best_score, best_idx = min(finite)
-        runner = sorted(f[0] for f in finite)
-        if len(runner) >= 2 and runner[1] - runner[0] < self.config.tracking_prefix_tolerance:
-            return -1  # ambiguous
-        return best_idx
+        return idxs[best] if best is not None else -1
 
     def _char_level_progress(self, text: str) -> int:
         """Sliding char-window progress fallback (tracker.ts:1779-1822)."""
