@@ -57,6 +57,10 @@ class FastConformerConfig:
     # Pallas kernels where available; False falls back to pure-XLA math
     # (CPU tests, virtual device meshes).
     use_pallas: bool = True
+    # Rematerialize each conformer block in the backward pass: activation
+    # memory drops from O(depth) to O(1) blocks at ~30% extra FLOPs
+    # (training-only knob; HBM is the scaling wall, not the MXU).
+    remat: bool = False
 
     @property
     def blank_id(self) -> int:
@@ -259,6 +263,16 @@ class RelPosSelfAttention(nn.Module):
 
     cfg: FastConformerConfig
 
+    @staticmethod
+    def _rel_shift(qp: jnp.ndarray, t: int) -> jnp.ndarray:
+        """[B,H,T,2T-1] → [B,H,T,T] with out[..., i, j] = qp[..., i, T-1-i+j]."""
+        b, h, _t, _k = qp.shape
+        x = jnp.pad(qp, ((0, 0), (0, 0), (0, 0), (1, 0)))      # [B,H,T,2T]
+        x = x.reshape(b, h, 2 * t, t)
+        x = x[:, :, 1:, :]                                     # [B,H,2T-1,T]
+        x = x.reshape(b, h, t, 2 * t - 1)
+        return x[..., :t]
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, mask: jnp.ndarray, deterministic: bool
@@ -284,13 +298,11 @@ class RelPosSelfAttention(nn.Module):
         content = jnp.einsum("bihd,bjhd->bhij", qu, k)
         # qp[b,h,i,k] over 2T-1 relative rows; row index k encodes rel
         # position (T-1)-k, and (i,j) needs rel position i-j → k = T-1-i+j.
-        qp = jnp.einsum("bihd,khd->bhik", qv, p)
-        rel_idx = (t - 1) - jnp.arange(t)[:, None] + jnp.arange(t)[None, :]  # [T,T]
-        pos_score = jnp.take_along_axis(
-            qp,
-            jnp.broadcast_to(rel_idx[None, None, :, :], qp.shape[:2] + rel_idx.shape),
-            axis=-1,
-        )
+        # The Transformer-XL rel-shift (pad+reshape) realizes that gather as
+        # pure layout ops — no take_along_axis, which XLA lowers to a slow
+        # dynamic-gather on TPU.
+        qp = jnp.einsum("bihd,khd->bhik", qv, p)  # [B,H,T,2T-1]
+        pos_score = self._rel_shift(qp, t)
         scores = (content + pos_score) / np.sqrt(dh)
 
         key_mask = mask[:, None, None, :, 0]  # [B,1,1,T]
@@ -392,8 +404,14 @@ class FastConformerCTC(nn.Module):
 
         x = jnp.where(mask, x, 0.0)
         if cfg.scan_layers:
+            body = _ScanBlock
+            if cfg.remat:
+                body = nn.remat(
+                    _ScanBlock,
+                    static_argnums=(4, 5),  # deterministic, use_running_average
+                )
             scanned = nn.scan(
-                _ScanBlock,
+                body,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True, "dropout": True},
                 in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
