@@ -104,6 +104,12 @@ def main() -> None:
     p50 = lat[n // 2] if n else float("nan")
     mean = sum(latencies) / n if n else float("nan")
     wall = sum(latencies)
+
+    # Whole-corpus batched throughput (TPU batch-axis parallelism).
+    from tilawa_tpu.eval.batched import batched_corpus_eval
+
+    batched = batched_corpus_eval(recognizer, audios, batch_size=8)
+
     out = {
         "metric": "p50_latency_s_per_clip_v1",
         "value": round(p50, 4),
@@ -112,9 +118,11 @@ def main() -> None:
         "mean_latency_s": round(mean, 4),
         "p90_latency_s": round(lat[int(0.9 * (n - 1))], 4) if n else None,
         "audio_sec_per_sec": round(total_audio_s / wall, 2) if wall else None,
+        "audio_sec_per_sec_batched": batched["audio_sec_per_sec"],
         "n_clips": n,
         "recall": round(scores["recall"] / n, 4) if n else None,
         "seq_acc": round(scores["sequence_accuracy"] / n, 4) if n else None,
+        "batched_recall": batched["recall"],
         "weights": weights,
         "setup_s": round(setup_s, 1),
     }

@@ -1,0 +1,84 @@
+"""Whole-corpus batched evaluation: the TPU-native throughput path.
+
+The reference evaluates clip-by-clip (benchmark/runner.py:297-343); on a
+TPU the batch axis is free parallelism (SURVEY.md §2.9), so this module
+groups clips into audio-length buckets, runs each bucket as ONE batched
+encoder dispatch, and runs the host-side decision stack off the shared
+device-resident log-probs. The audio-sec/sec/chip number in bench.py
+comes from here.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+
+import numpy as np
+
+from tilawa_tpu.pipeline.runtime import bucket_length
+
+
+def batched_corpus_eval(
+    recognizer,
+    audios: list[tuple[str, np.ndarray, list[dict]]],
+    batch_size: int = 8,
+) -> dict:
+    """audios: (sample_id, waveform, expected_verses) triples.
+
+    Returns per-sample predictions plus throughput metrics. The encoder
+    runs bucket-batched; decode/retrieval/rerank run per clip on the
+    device-resident log-probs (rerank dispatches still batch internally).
+    """
+    from tilawa_tpu.eval.metrics import predict_to_emissions, score_sequence
+
+    runtime = recognizer.runtime
+    groups: dict[int, list[int]] = defaultdict(list)
+    for i, (_sid, audio, _exp) in enumerate(audios):
+        groups[bucket_length(len(audio))].append(i)
+
+    # Warmup: compile one program per bucket before the timed pass (the
+    # reference excludes warmup too, benchmark/runner.py:271-280). Short
+    # chunks are padded up to batch_size so every dispatch in a bucket
+    # reuses the same program.
+    for bucket, idxs in sorted(groups.items()):
+        runtime.forward_batch(
+            [np.zeros(bucket, np.float32)] * min(batch_size, max(len(idxs), 1))
+        )
+
+    predictions: dict[int, dict] = {}
+    total_audio_s = 0.0
+    t0 = time.perf_counter()
+    for bucket, idxs in sorted(groups.items()):
+        full = min(batch_size, len(idxs))
+        for pos in range(0, len(idxs), batch_size):
+            chunk = idxs[pos:pos + batch_size]
+            waves = [audios[i][1] for i in chunk]
+            while len(waves) < full:  # pad ragged tail to the bucket program
+                waves.append(np.zeros(bucket, np.float32))
+            lps, t_valids, ids_b = runtime.forward_batch(waves)
+            for j, i in enumerate(chunk):
+                t_valid = int(t_valids[j])
+                transcript = recognizer.decode_ids(ids_b[j, :t_valid])
+                predictions[i] = recognizer._predict_from_logprobs(
+                    lps[j], t_valid, transcript
+                )
+                total_audio_s += len(audios[i][1]) / 16000.0
+    wall = time.perf_counter() - t0
+
+    scores = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
+    n = len(audios)
+    for i, (_sid, _audio, expected) in enumerate(audios):
+        s = score_sequence(expected, predict_to_emissions(predictions[i]))
+        for k in scores:
+            scores[k] += s[k]
+
+    return {
+        "n": n,
+        "wall_s": round(wall, 3),
+        "audio_s": round(total_audio_s, 1),
+        "audio_sec_per_sec": round(total_audio_s / wall, 2) if wall else None,
+        "recall": round(scores["recall"] / n, 4) if n else None,
+        "precision": round(scores["precision"] / n, 4) if n else None,
+        "seq_acc": round(scores["sequence_accuracy"] / n, 4) if n else None,
+        "predictions": {audios[i][0]: predictions[i] for i in range(n)},
+    }
