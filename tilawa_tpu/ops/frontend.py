@@ -92,23 +92,34 @@ def frames_for_length(length):
 
 _TT = 128                       # frames per grid tile
 _F_PAD = 384                    # 257 rfft bins padded to a lane multiple
-_CHUNK_ROWS = _TT + 2           # 160-sample rows covering TT overlapping frames
-_CHUNK = _CHUNK_ROWS * HOP_LENGTH
+# 160-sample hop rows, zero-padded to 256 lanes so every DMA slice and
+# matmul operand is (8, 128)-tile aligned; TT+2 rows cover TT overlapping
+# frames, rounded up to the 8-row sublane tile.
+_ROW_PAD = 256
+_CHUNK_ROWS = _TT + 8
 
 
 @functools.lru_cache(maxsize=2)
 def _dft_matrices(eps_unused: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """Windowed real-DFT matrices [WIN, F_PAD] (Hann folded in; columns
-    beyond the 257 real bins are zero so padded freqs contribute nothing)."""
+    """Windowed real-DFT matrices as three stacked [ROW_PAD, F_PAD] blocks
+    ([3*ROW_PAD, F_PAD] total): block r holds DFT rows for window samples
+    [r*HOP, min((r*HOP)+ROW_PAD, WIN)), zero elsewhere, with the Hann
+    window folded in — so frames @ DFT decomposes into three full-width
+    aligned matmuls against consecutive hop rows."""
     n_freqs = N_FFT // 2 + 1
     t = np.arange(WIN_LENGTH, dtype=np.float64)[:, None]
     k = np.arange(n_freqs, dtype=np.float64)[None, :]
     ang = -2.0 * np.pi * t * k / N_FFT
     win = hann_window().astype(np.float64)[:, None]
-    real = np.zeros((WIN_LENGTH, _F_PAD), dtype=np.float32)
-    imag = np.zeros((WIN_LENGTH, _F_PAD), dtype=np.float32)
-    real[:, :n_freqs] = (win * np.cos(ang)).astype(np.float32)
-    imag[:, :n_freqs] = (win * np.sin(ang)).astype(np.float32)
+    real_full = (win * np.cos(ang)).astype(np.float32)   # [WIN, n_freqs]
+    imag_full = (win * np.sin(ang)).astype(np.float32)
+    real = np.zeros((3 * _ROW_PAD, _F_PAD), dtype=np.float32)
+    imag = np.zeros((3 * _ROW_PAD, _F_PAD), dtype=np.float32)
+    for r in range(3):
+        lo = r * HOP_LENGTH
+        hi = min(lo + HOP_LENGTH, WIN_LENGTH)
+        real[r * _ROW_PAD : r * _ROW_PAD + (hi - lo), :n_freqs] = real_full[lo:hi]
+        imag[r * _ROW_PAD : r * _ROW_PAD + (hi - lo), :n_freqs] = imag_full[lo:hi]
     return real, imag
 
 
@@ -127,26 +138,40 @@ def _mel_kernel(audio_ref, dftr_ref, dfti_ref, fb_ref, out_ref, scratch, sem,
 
     b = pl.program_id(0)
     i = pl.program_id(1)
-    start = i * (_TT * HOP_LENGTH)
+    # audio arrives pre-reshaped as [B, rows, 160] so the DMA and all kernel
+    # math stay 2D (Mosaic cannot shape-cast 1D vectors to 2D).
     dma = pltpu.make_async_copy(
-        audio_ref.at[b, pl.ds(start, _CHUNK)], scratch, sem
+        audio_ref.at[b, pl.ds(i * _TT, _CHUNK_ROWS), :], scratch, sem
     )
     dma.start()
     dma.wait()
-    rows = scratch[:].reshape(_CHUNK_ROWS, HOP_LENGTH)
-    # WIN = 400 = 160 + 160 + 80: frame t = rows[t] ++ rows[t+1] ++ rows[t+2][:80]
-    frames = jnp.concatenate(
-        [
-            rows[0:_TT],
-            rows[1:_TT + 1],
-            rows[2:_TT + 2, : WIN_LENGTH - 2 * HOP_LENGTH],
-        ],
-        axis=1,
-    )  # [TT, WIN]
-    real = jnp.dot(frames, dftr_ref[:], preferred_element_type=jnp.float32)
-    imag = jnp.dot(frames, dfti_ref[:], preferred_element_type=jnp.float32)
+    rows = scratch[:]  # [CHUNK_ROWS, ROW_PAD], only the first 160 lanes live
+    # WIN = 400 = 160 + 160 + 80: frame t = rows[t] ++ rows[t+1] ++ rows[t+2][:80].
+    # Frames are never materialized (Mosaic can't concat offset-shifted
+    # slices); instead the DFT matmul splits over three row-shifted blocks
+    # against the zero-padded DFT block matrices:
+    #   frames @ D == rows[t] @ D0 + rows[t+1] @ D1 + rows[t+2] @ D2
+
+    # HIGHEST matmul precision: the power spectrum spans a huge dynamic
+    # range and ln() amplifies relative error at small magnitudes — single-
+    # pass bf16 MXU products drift the normalized features by ~0.5.
+    hp = jax.lax.Precision.HIGHEST
+
+    def dft(mat_ref):
+        return (
+            jnp.dot(rows[0:_TT], mat_ref[0:_ROW_PAD],
+                    preferred_element_type=jnp.float32, precision=hp)
+            + jnp.dot(rows[1:_TT + 1], mat_ref[_ROW_PAD:2 * _ROW_PAD],
+                      preferred_element_type=jnp.float32, precision=hp)
+            + jnp.dot(rows[2:_TT + 2], mat_ref[2 * _ROW_PAD:],
+                      preferred_element_type=jnp.float32, precision=hp)
+        )
+
+    real = dft(dftr_ref)
+    imag = dft(dfti_ref)
     power = real * real + imag * imag           # [TT, F_PAD]
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32,
+                  precision=hp)
     out_ref[0] = jnp.log(mel + eps)
 
 
@@ -162,9 +187,12 @@ def fused_log_mel(
     b, n = pre.shape
     t_frames = num_frames(n)
     t_tiles = max(1, -(-t_frames // _TT))
-    n_need = (t_tiles - 1) * _TT * HOP_LENGTH + _CHUNK
+    rows_total = (t_tiles - 1) * _TT + _CHUNK_ROWS
+    n_need = rows_total * HOP_LENGTH
     if n_need > n:
         pre = jnp.pad(pre, ((0, 0), (0, n_need - n)))
+    pre = pre[:, :n_need].reshape(b, rows_total, HOP_LENGTH)
+    pre = jnp.pad(pre, ((0, 0), (0, 0), (0, _ROW_PAD - HOP_LENGTH)))
     dftr, dfti = _dft_matrices()
     out = pl.pallas_call(
         functools.partial(_mel_kernel, eps=eps),
@@ -181,7 +209,7 @@ def fused_log_mel(
         ),
         out_shape=jax.ShapeDtypeStruct((b, t_tiles * _TT, N_MELS), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_CHUNK,), jnp.float32),
+            pltpu.VMEM((_CHUNK_ROWS, _ROW_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
