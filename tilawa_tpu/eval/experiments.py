@@ -229,6 +229,71 @@ class PhonemeExperiment:
         return 0
 
 
+class PrunedCTCExperiment:
+    """Depth-pruned encoder variants behind the reference's list_models()
+    multi-variant contract (reference: experiments/rabah-pruned-ctc/run.py
+    list_models() over 12/8/6-layer first_n / evenly_spaced prunes;
+    benchmark/runner.py:162-190 expands them). Variants derive from the
+    latest trained checkpoint at selection time."""
+
+    VARIANTS = {
+        f"L{keep}-{mode}": (keep, mode)
+        for keep in (12, 8, 6)
+        for mode in ("first_n", "evenly_spaced")
+    }
+
+    def __init__(self):
+        self._recognizers: dict[str, object] = {}
+        self._current = "L12-evenly_spaced"
+
+    def list_models(self) -> list[str]:
+        return sorted(self.VARIANTS)
+
+    def set_model(self, name: str) -> None:
+        if name not in self.VARIANTS:
+            raise KeyError(f"unknown model {name!r}; have {self.list_models()}")
+        self._current = name
+
+    def _recognizer(self):
+        name = self._current
+        if name not in self._recognizers:
+            from tilawa_tpu.pipeline.predict import Recognizer
+            from tilawa_tpu.pipeline.runtime import EncoderRuntime
+            from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+            from tilawa_tpu.train.prune import prune_layers
+
+            keep, mode = self.VARIANTS[name]
+            ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
+            if ckpt:
+                config, variables = load_variables(ckpt)
+                config, variables = prune_layers(config, variables, keep, mode)
+                runtime = EncoderRuntime(config, variables)
+            else:
+                from tilawa_tpu.models.fastconformer import FastConformerConfig
+
+                runtime = EncoderRuntime(
+                    FastConformerConfig.large(num_layers=keep)
+                )
+            self._recognizers[name] = Recognizer(runtime)
+        return self._recognizers[name]
+
+    def predict(self, path: str) -> dict:
+        return self._recognizer().predict(path)
+
+    def transcribe(self, path: str) -> str:
+        return self._recognizer().transcribe(path)
+
+    def model_size(self) -> int:
+        from tilawa_tpu.train.quantize import packed_size_bytes
+
+        return packed_size_bytes(self._recognizer().runtime.variables)
+
+
+@register("pruned-ctc")
+def _pruned_ctc():
+    return PrunedCTCExperiment()
+
+
 @register("fastconformer-quran-lm-fusion")
 def _lm_fusion():
     return LMFusionExperiment(error_rate=0.10, noise=1.0)

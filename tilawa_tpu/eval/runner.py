@@ -258,11 +258,23 @@ def main(argv=None):
     parser.add_argument("--mode", default="full", choices=["full", "streaming"])
     parser.add_argument("--chunk", type=float, default=3.0)
     parser.add_argument("--list", action="store_true")
+    parser.add_argument("--model", default=None,
+                        help="variant for list_models() experiments "
+                             "(reference: runner.py:162-190 expansion)")
     args = parser.parse_args(argv)
 
     if args.list:
         for name in list_experiments():
-            print(name)
+            exp = None
+            try:
+                exp = get_experiment(name) if name == "pruned-ctc" else None
+            except Exception:
+                pass
+            if exp is not None and hasattr(exp, "list_models"):
+                for m in exp.list_models():
+                    print(f"{name}/{m}")
+            else:
+                print(name)
         return
 
     samples, corpus_dir = load_manifest(args.corpus)
@@ -270,6 +282,10 @@ def main(argv=None):
         samples = [s for s in samples if s["category"] == args.category]
 
     pipeline = get_experiment(args.experiment)
+    if args.model is not None:
+        if not hasattr(pipeline, "set_model"):
+            raise SystemExit(f"{args.experiment} has no model variants")
+        pipeline.set_model(args.model)
     streaming_pipeline = None
     if not hasattr(pipeline, "predict") or args.mode == "streaming":
         from tilawa_tpu.streaming.pipeline import StreamingPipeline

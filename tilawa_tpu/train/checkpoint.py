@@ -64,9 +64,7 @@ def latest_checkpoint(root: str | Path | None = None) -> Path | None:
     root = Path(root) if root else CHECKPOINT_DIR
     if not root.exists():
         return None
-    candidates = [
-        p for p in root.iterdir() if (p / "variables.msgpack").exists()
-    ]
+    candidates = [p.parent for p in root.rglob("variables.msgpack")]
     if not candidates:
         return None
     return max(candidates, key=lambda p: p.stat().st_mtime)
