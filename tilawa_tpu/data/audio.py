@@ -3,16 +3,21 @@
 The reference delegates decoding to librosa/soundfile/ffmpeg (reference:
 shared/audio.py:8-18) and speed-perturbs with scipy.signal.resample_poly
 (reference: experiments/c2c-direct-mixed-tta/run.py:60-71). Here decoding is
-a dependency-free RIFF/WAV parser (PCM 8/16/24/32-bit + IEEE float) plus
-polyphase resampling; compressed formats (mp3/m4a/ogg) raise
-UnsupportedAudioFormat so callers can apply the runner's skip policy
-(reference: benchmark/runner.py:299-303 skips missing audio rather than
-scoring it wrong).
+two-tier: a dependency-free RIFF/WAV parser (PCM 8/16/24/32-bit + IEEE
+float) for wav, and a native C++ decoder (tilawa_tpu/native/audiodec.cpp,
+libavformat/libavcodec/libswresample via ctypes, built on demand) for
+compressed formats (mp3/m4a/ogg/...). Without the native toolchain,
+compressed formats raise UnsupportedAudioFormat so callers can apply the
+runner's skip policy (reference: benchmark/runner.py:299-303 skips missing
+audio rather than scoring it wrong).
 """
 
 from __future__ import annotations
 
+import ctypes
 import struct
+import subprocess
+import threading
 from fractions import Fraction
 from pathlib import Path
 
@@ -20,6 +25,72 @@ import numpy as np
 from scipy.signal import resample_poly
 
 TARGET_SR = 16000
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_DEC_SRC = _NATIVE_DIR / "audiodec.cpp"
+_DEC_LIB_PATH = _NATIVE_DIR / "_audiodec.so"
+_dec_lib: ctypes.CDLL | bool | None = None
+_dec_lock = threading.Lock()
+
+
+def _load_native_decoder() -> ctypes.CDLL | None:
+    """Build (if needed) + load the ffmpeg-backed decoder; None if unavailable."""
+    global _dec_lib
+    if _dec_lib is not None:
+        return _dec_lib if _dec_lib is not False else None
+    with _dec_lock:
+        if _dec_lib is not None:
+            return _dec_lib if _dec_lib is not False else None
+        if not _DEC_LIB_PATH.exists() or (
+            _DEC_SRC.exists()
+            and _DEC_LIB_PATH.stat().st_mtime < _DEC_SRC.stat().st_mtime
+        ):
+            try:
+                subprocess.run(
+                    [
+                        "g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                        str(_DEC_SRC), "-o", str(_DEC_LIB_PATH),
+                        "-lavformat", "-lavcodec", "-lavutil", "-lswresample",
+                    ],
+                    check=True, capture_output=True, timeout=180,
+                )
+            except Exception:
+                _dec_lib = False
+                return None
+        try:
+            lib = ctypes.CDLL(str(_DEC_LIB_PATH))
+        except OSError:
+            _dec_lib = False
+            return None
+        lib.tilawa_decode_audio.restype = ctypes.c_longlong
+        lib.tilawa_decode_audio.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.tilawa_free_samples.restype = None
+        lib.tilawa_free_samples.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        _dec_lib = lib
+        return lib
+
+
+def _decode_native(path: Path, sr: int) -> np.ndarray | None:
+    """Decode any container/codec via the native decoder; None if unavailable."""
+    lib = _load_native_decoder()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    err = ctypes.create_string_buffer(256)
+    n = lib.tilawa_decode_audio(str(path).encode(), sr, ctypes.byref(out), err, 256)
+    if n < 0:
+        raise UnsupportedAudioFormat(
+            f"native decode failed for {path.name}: {err.value.decode(errors='replace')}"
+        )
+    try:
+        samples = np.ctypeslib.as_array(out, shape=(n,)).astype(np.float32, copy=True)
+    finally:
+        lib.tilawa_free_samples(out)
+    return samples
 
 
 class UnsupportedAudioFormat(RuntimeError):
@@ -100,10 +171,13 @@ def load_audio(path: str | Path, sr: int = TARGET_SR) -> np.ndarray:
     if data[:4] == b"RIFF":
         x, native_sr = _parse_wav(data)
     else:
-        raise UnsupportedAudioFormat(
-            f"{path.suffix or 'unknown'} decoding not available (no ffmpeg in "
-            "this environment); supported: wav"
-        )
+        decoded = _decode_native(path, sr)
+        if decoded is None:
+            raise UnsupportedAudioFormat(
+                f"{path.suffix or 'unknown'} decoding unavailable (native "
+                "audiodec not built and file is not RIFF/WAV)"
+            )
+        return decoded
     mono = x.mean(axis=1) if x.shape[1] > 1 else x[:, 0]
     return resample(mono, native_sr, sr)
 
