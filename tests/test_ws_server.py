@@ -77,3 +77,51 @@ def test_ws_binary_frames_and_close(db):
         await srv.wait_closed()
 
     asyncio.run(scenario())
+
+
+def test_text_protocol_reset_setconfig_debug(db):
+    async def scenario():
+        server = RecitationServer(lambda a: "", db=db, engine="tracker")
+        srv = await wslib.serve(server.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        sock = await wslib.connect("127.0.0.1", port)
+
+        await sock.send_text(json.dumps({"type": "set_debug", "enabled": True}))
+        await sock.send_text(json.dumps(
+            {"type": "set_config", "preset": "conservative"}))
+        await sock.send_text(json.dumps({"type": "reset"}))
+        msg = json.loads((await asyncio.wait_for(sock.receive(), 10)).text)
+        assert msg["type"] == "reset_done"
+        await sock.close()
+        srv.close()
+        await srv.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_http_static_app_shell(db):
+    """GET / serves the browser app (web/index.html) beside the WS endpoint."""
+
+    async def scenario():
+        server = RecitationServer(lambda a: "", db=db)
+        srv = await wslib.serve(server.handle, "127.0.0.1", 0,
+                                http_handler=server.api.handle)
+        port = srv.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        data = await asyncio.wait_for(reader.read(), 10)
+        writer.close()
+        head, _, body = data.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        assert b"text/html" in head
+        assert b"Tilawa" in body
+        # path traversal rejected
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET /../SURVEY.md HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        data = await asyncio.wait_for(reader.read(), 10)
+        writer.close()
+        assert b"404" in data.split(b"\r\n")[0]
+
+    asyncio.run(scenario())

@@ -223,6 +223,27 @@ class Recognizer:
         lp, t_valid = self.runtime.log_probs(audio)
         return self.greedy_decode(lp, t_valid)
 
+    def transcribe_result(self, audio: np.ndarray):
+        """Full acoustic decode for the streaming tracker: normalized text
+        + collapsed token ids + device log-probs (fuels the tracker's CTC
+        candidate fusion; reference: worker/inference.ts transcribe() →
+        tracker acoustic scoring)."""
+        from tilawa_tpu.streaming.tracker import TranscribeResult
+
+        lp, t_valid = self.runtime.log_probs(audio)
+        ids = np.asarray(lp[:t_valid]).argmax(axis=-1)
+        deduped = collapse_ctc(ids, self.runtime.blank_id)
+        text = (
+            normalize_arabic(self.tokenizer.decode(deduped).strip())
+            if deduped else ""
+        )
+        return TranscribeResult(
+            text=text,
+            token_ids=list(deduped),
+            log_probs=np.asarray(lp),
+            t_valid=int(t_valid),
+        )
+
     def _transcribe_long(self, audio: np.ndarray) -> str:
         """Long-audio policy: 25 s windows with 1 s overlap, each decoded
         independently and concatenated (reference: w2v-phonemes long-file

@@ -10,6 +10,8 @@ Parity targets:
   POST /api/diagnostics    — auto-captured tracker diagnostic bundles
                              (server/diagnostics.ts:13-50)
   GET  /admin              — JSON dashboard summary (server/admin.ts)
+  GET  /                   — the browser app shell (web/index.html; reference:
+                             web/frontend/index.html + src/main.ts)
 """
 
 from __future__ import annotations
@@ -20,6 +22,15 @@ import time
 from pathlib import Path
 
 from tilawa_tpu.data.quran import QuranDB
+
+_WEB_DIR = Path(__file__).resolve().parent.parent.parent / "web"
+_STATIC_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".js": "text/javascript; charset=utf-8",
+    ".css": "text/css; charset=utf-8",
+    ".json": "application/json",
+    ".svg": "image/svg+xml",
+}
 
 
 class ApiService:
@@ -51,7 +62,23 @@ class ApiService:
             return self._json(201, self.save_diagnostics(self._parse(body)))
         if method == "GET" and route == "/admin":
             return self._json(200, self.admin_summary())
+        if method == "GET":
+            static = self._static(route)
+            if static is not None:
+                return static
         return 404, "application/json", b'{"error": "not found"}'
+
+    @staticmethod
+    def _static(route: str):
+        """Serve the browser app shell from web/ (no path traversal)."""
+        name = "index.html" if route == "/" else route.lstrip("/")
+        if "/" in name or name.startswith("."):
+            return None
+        path = _WEB_DIR / name
+        ctype = _STATIC_TYPES.get(path.suffix)
+        if ctype is None or not path.is_file():
+            return None
+        return 200, ctype, path.read_bytes()
 
     # ------------------------------------------------------------- handlers
 

@@ -35,11 +35,15 @@ def save_variables(path: str | Path, config: FastConformerConfig, variables) -> 
     return path
 
 
+def load_config(path: str | Path) -> FastConformerConfig:
+    cfg = json.loads((Path(path) / "config.json").read_text())
+    cfg["dtype"] = _DTYPES[cfg.get("dtype", "float32")]
+    return FastConformerConfig(**cfg)
+
+
 def load_variables(path: str | Path):
     path = Path(path)
-    cfg = json.loads((path / "config.json").read_text())
-    cfg["dtype"] = _DTYPES[cfg.get("dtype", "float32")]
-    config = FastConformerConfig(**cfg)
+    config = load_config(path)
 
     import jax
 

@@ -86,6 +86,87 @@ def corpus_batches(
             yield pad_batch(chunk, audio_pad, token_pad)
 
 
+# (bucket seconds, batch size): roughly constant audio-samples per step so
+# every bucket's XLA program has a similar cost; 7 compiled train-step
+# shapes total (length-bucketed padding per SURVEY.md §7 Phase 2).
+BUCKETS: list[tuple[float, int]] = [
+    (8.0, 16), (12.0, 12), (16.0, 8), (24.0, 6), (32.0, 4), (48.0, 3), (64.0, 2),
+]
+
+
+def _augment(audio: np.ndarray, rng: np.random.Generator, pad: int) -> np.ndarray:
+    """Speed perturb (0.9x-1.1x), gain, light noise — the reference trains
+    with NeMo speed perturbation and tests with 0.9/1.0/1.1 TTA
+    (reference: experiments/c2c-direct-mixed-tta/run.py:60-71)."""
+    from tilawa_tpu.data.audio import speed_perturb
+
+    if rng.random() < 0.5:
+        factor = float(rng.uniform(0.9, 1.1))
+        if len(audio) * factor < pad:
+            audio = speed_perturb(audio, factor)
+    gain = float(rng.uniform(0.7, 1.3))
+    audio = audio * gain
+    if rng.random() < 0.3:
+        rms = float(np.sqrt((audio**2).mean()) + 1e-8)
+        audio = audio + rng.normal(
+            scale=0.02 * rms, size=audio.shape
+        ).astype(np.float32)
+    return np.clip(audio, -1.0, 1.0).astype(np.float32)
+
+
+def bucketed_corpus_batches(
+    corpora: tuple[str, ...] = ("v1", "v2", "v3"),
+    seed: int = 0,
+    augment: bool = True,
+    buckets: list[tuple[float, int]] | None = None,
+):
+    """Infinite iterator over length-bucketed batches from several corpora.
+
+    Each bucket is one fixed (audio_pad, token_pad, batch) shape — a handful
+    of XLA programs instead of one worst-case pad. Buckets are sampled
+    proportionally to example count.
+    """
+    buckets = buckets or BUCKETS
+    examples: list[tuple[np.ndarray, list[int]]] = []
+    for corpus in corpora:
+        examples.extend(
+            load_corpus_examples(corpus, max_audio_s=buckets[-1][0])
+        )
+    if not examples:
+        raise RuntimeError("no decodable training examples found")
+
+    by_bucket: list[list[tuple[np.ndarray, list[int]]]] = [[] for _ in buckets]
+    for a, ids in examples:
+        for bi, (sec, _bs) in enumerate(buckets):
+            if len(a) <= sec * 16000:
+                by_bucket[bi].append((a, ids))
+                break
+    live = [bi for bi, ex in enumerate(by_bucket) if ex]
+    token_pads = []
+    for bi, ex in enumerate(by_bucket):
+        tp = max((len(ids) for _a, ids in ex), default=8)
+        token_pads.append(int(np.ceil(tp / 16) * 16))
+    weights = np.array([len(by_bucket[bi]) for bi in live], dtype=np.float64)
+    weights /= weights.sum()
+
+    rng = np.random.default_rng(seed)
+    while True:
+        bi = int(rng.choice(live, p=weights))
+        sec, bs = buckets[bi]
+        pad = int(sec * 16000)
+        pool = by_bucket[bi]
+        picks = rng.choice(len(pool), size=min(bs, len(pool)), replace=len(pool) < bs)
+        chunk = []
+        for i in picks:
+            a, ids = pool[int(i)]
+            if augment:
+                a = _augment(a, rng, pad)
+            chunk.append((a, ids))
+        while len(chunk) < bs:  # fixed batch dim per bucket
+            chunk.append(chunk[len(chunk) % max(1, len(picks))])
+        yield pad_batch(chunk, pad, token_pads[bi])
+
+
 def synthetic_batches(
     batch_size: int = 4,
     n_samples: int = 16000,

@@ -128,10 +128,26 @@ def train(
     log_every: int = 20,
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 500,
+    init_from: str | Path | None = None,
 ):
-    """Run the training loop; returns (model, final state, loss history)."""
+    """Run the training loop; returns (model, final state, loss history).
+
+    init_from: checkpoint dir to warm-start params/batch_stats from (fresh
+    optimizer state — continuation training, not exact resume)."""
     tx = make_optimizer(lr=lr, total_steps=steps)
     model, state = init_state(config, tx, seed=seed)
+    if init_from:
+        from tilawa_tpu.train.checkpoint import load_variables
+
+        ckpt_config, variables = load_variables(init_from)
+        if ckpt_config != config:
+            raise ValueError(
+                f"init_from config mismatch: {ckpt_config} != {config}"
+            )
+        state = state.replace(
+            params=variables["params"], batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+        )
     if mesh is not None:
         state = state.replace(
             params=shard_variables({"params": state.params}, mesh)["params"],
@@ -170,7 +186,7 @@ def _save(checkpoint_dir, config, state, step):
 def main():  # pragma: no cover - CLI
     import argparse
 
-    from tilawa_tpu.train.data import corpus_batches
+    from tilawa_tpu.train.data import bucketed_corpus_batches, corpus_batches
 
     parser = argparse.ArgumentParser(description="tilawa-tpu CTC training")
     parser.add_argument("--steps", type=int, default=1000)
@@ -178,17 +194,40 @@ def main():  # pragma: no cover - CLI
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--preset", default="small", choices=["small", "large"])
     parser.add_argument("--checkpoint-dir", default="checkpoints/run")
+    parser.add_argument("--checkpoint-every", type=int, default=500)
+    parser.add_argument(
+        "--corpora", default="v1",
+        help="comma-separated corpora; >1 or 'all' selects bucketed batches",
+    )
+    parser.add_argument("--init-from", default=None)
+    parser.add_argument("--no-augment", action="store_true")
     args = parser.parse_args()
 
-    config = (
-        FastConformerConfig.small()
-        if args.preset == "small"
-        else FastConformerConfig.large()
+    if args.init_from:
+        from tilawa_tpu.train.checkpoint import load_config
+
+        config = load_config(args.init_from)
+    else:
+        config = (
+            FastConformerConfig.small()
+            if args.preset == "small"
+            else FastConformerConfig.large()
+        )
+    corpora = (
+        ("v1", "v2", "v3") if args.corpora == "all"
+        else tuple(args.corpora.split(","))
     )
-    batches = corpus_batches(batch_size=args.batch_size)
+    if len(corpora) > 1:
+        batches = bucketed_corpus_batches(
+            corpora=corpora, augment=not args.no_augment
+        )
+    else:
+        batches = corpus_batches(batch_size=args.batch_size, corpus=corpora[0])
     train(
         config, batches, args.steps, lr=args.lr,
         checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        init_from=args.init_from,
     )
 
 
