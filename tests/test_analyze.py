@@ -61,3 +61,34 @@ def test_analyze_results_span_expansion():
     rep = analyze_results(results)
     assert rep["counts"] == {"exact": 1, "no_emit": 1}
     assert rep["failures"][0]["id"] == "b"
+
+
+def test_compare_results_classes():
+    from tilawa_tpu.eval.compare import compare_results
+
+    batch = {"per_sample": [
+        {"id": "a", "expected": [{"surah": 1, "ayah": 1}],
+         "predicted": [{"surah": 1, "ayah": 1}]},
+        {"id": "b", "expected": [{"surah": 1, "ayah": 2}],
+         "predicted": [{"surah": 1, "ayah": 2}]},
+        {"id": "c", "expected": [{"surah": 2, "ayah": 5}],
+         "predicted": [{"surah": 9, "ayah": 9}]},
+        {"id": "d", "expected": [{"surah": 3, "ayah": 3}],
+         "predicted": []},
+    ]}
+    streaming = {"per_sample": [
+        {"id": "a", "expected": [{"surah": 1, "ayah": 1}],
+         "predicted": [{"surah": 1, "ayah": 1}]},
+        {"id": "b", "expected": [{"surah": 1, "ayah": 2}],
+         "predicted": []},
+        {"id": "c", "expected": [{"surah": 2, "ayah": 5}],
+         "predicted": [{"surah": 8, "ayah": 8}]},
+        {"id": "d", "expected": [{"surah": 3, "ayah": 3}],
+         "predicted": [{"surah": 3, "ayah": 3}]},
+    ]}
+    rep = compare_results(batch, streaming)
+    assert rep["counts"] == {
+        "both_exact": 1, "streaming_loss": 1, "model_floor": 1,
+        "streaming_rescue": 1,
+    }
+    assert rep["classes"]["streaming_loss"] == ["b"]

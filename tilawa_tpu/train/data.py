@@ -91,6 +91,7 @@ def corpus_batches(
 # shapes total (length-bucketed padding per SURVEY.md §7 Phase 2).
 BUCKETS: list[tuple[float, int]] = [
     (8.0, 16), (12.0, 12), (16.0, 8), (24.0, 6), (32.0, 4), (48.0, 3), (64.0, 2),
+    (96.0, 1), (160.0, 1),
 ]
 
 
@@ -119,12 +120,14 @@ def bucketed_corpus_batches(
     seed: int = 0,
     augment: bool = True,
     buckets: list[tuple[float, int]] | None = None,
+    weighting: str = "prop",
 ):
     """Infinite iterator over length-bucketed batches from several corpora.
 
     Each bucket is one fixed (audio_pad, token_pad, batch) shape — a handful
-    of XLA programs instead of one worst-case pad. Buckets are sampled
-    proportionally to example count.
+    of XLA programs instead of one worst-case pad. Bucket sampling:
+    weighting="prop" ∝ example count, "sqrt" ∝ sqrt(count) (oversamples the
+    sparse long-audio buckets), "uniform" equal per bucket.
     """
     buckets = buckets or BUCKETS
     examples: list[tuple[np.ndarray, list[int]]] = []
@@ -147,6 +150,10 @@ def bucketed_corpus_batches(
         tp = max((len(ids) for _a, ids in ex), default=8)
         token_pads.append(int(np.ceil(tp / 16) * 16))
     weights = np.array([len(by_bucket[bi]) for bi in live], dtype=np.float64)
+    if weighting == "sqrt":
+        weights = np.sqrt(weights)
+    elif weighting == "uniform":
+        weights = np.ones_like(weights)
     weights /= weights.sum()
 
     rng = np.random.default_rng(seed)

@@ -163,7 +163,11 @@ def train(
         if i % log_every == 0 or i == steps - 1:
             lv = float(loss)
             history.append(lv)
-            print(f"step {i:5d}  loss {lv:8.4f}  ({time.time()-t0:.0f}s)")
+            shape = getattr(batch[0], "shape", None)
+            print(
+                f"step {i:5d}  loss {lv:8.4f}  "
+                f"[{shape[0]}x{shape[1]//16000}s]  ({time.time()-t0:.0f}s)"
+            )
         if checkpoint_dir and (i + 1) % checkpoint_every == 0:
             _save(checkpoint_dir, config, state, i + 1)
     if checkpoint_dir:
@@ -201,6 +205,8 @@ def main():  # pragma: no cover - CLI
     )
     parser.add_argument("--init-from", default=None)
     parser.add_argument("--no-augment", action="store_true")
+    parser.add_argument("--weighting", default="prop",
+                        choices=["prop", "sqrt", "uniform"])
     args = parser.parse_args()
 
     if args.init_from:
@@ -219,7 +225,8 @@ def main():  # pragma: no cover - CLI
     )
     if len(corpora) > 1:
         batches = bucketed_corpus_batches(
-            corpora=corpora, augment=not args.no_augment
+            corpora=corpora, augment=not args.no_augment,
+            weighting=args.weighting,
         )
     else:
         batches = corpus_batches(batch_size=args.batch_size, corpus=corpora[0])
