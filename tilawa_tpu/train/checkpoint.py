@@ -64,11 +64,21 @@ def load_variables(path: str | Path):
     return config, variables
 
 
+EXPORTS_DIR = Path(os.getenv("TILAWA_EXPORTS_DIR", str(_REPO_ROOT / "exports")))
+
+
 def latest_checkpoint(root: str | Path | None = None) -> Path | None:
+    """Newest training checkpoint; falls back to the shipped export bundle
+    (exports/ is tracked in git, checkpoints/ is not)."""
     root = Path(root) if root else CHECKPOINT_DIR
-    if not root.exists():
-        return None
-    candidates = [p.parent for p in root.rglob("variables.msgpack")]
-    if not candidates:
-        return None
-    return max(candidates, key=lambda p: p.stat().st_mtime)
+    candidates = (
+        [p.parent for p in root.rglob("variables.msgpack")]
+        if root.exists() else []
+    )
+    if candidates:
+        return max(candidates, key=lambda p: p.stat().st_mtime)
+    if root == CHECKPOINT_DIR and EXPORTS_DIR.exists():
+        bundles = [p.parent for p in EXPORTS_DIR.rglob("variables.msgpack")]
+        if bundles:
+            return max(bundles, key=lambda p: p.stat().st_mtime)
+    return None

@@ -20,15 +20,20 @@ from tilawa_tpu.data.token_store import TokenStore
 
 
 def load_corpus_examples(
-    corpus: str = "v1", max_audio_s: float = 20.0
+    corpus: str = "v1", max_audio_s: float = 20.0,
+    only_ids: set[str] | None = None,
 ) -> list[tuple[np.ndarray, list[int]]]:
-    """(waveform, target token ids) pairs for every decodable corpus clip."""
+    """(waveform, target token ids) pairs for every decodable corpus clip.
+    only_ids restricts to specific sample ids (hard-example continuation
+    driven by tilawa_tpu.train.fit_report)."""
     from tilawa_tpu.eval.runner import load_manifest
 
     store = TokenStore.load_default()
     samples, corpus_dir = load_manifest(corpus)
     out = []
     for s in samples:
+        if only_ids is not None and s["id"] not in only_ids:
+            continue
         path = corpus_dir / s["file"]
         if not path.exists():
             continue
@@ -121,6 +126,7 @@ def bucketed_corpus_batches(
     augment: bool = True,
     buckets: list[tuple[float, int]] | None = None,
     weighting: str = "prop",
+    only_ids: set[str] | None = None,
 ):
     """Infinite iterator over length-bucketed batches from several corpora.
 
@@ -133,7 +139,9 @@ def bucketed_corpus_batches(
     examples: list[tuple[np.ndarray, list[int]]] = []
     for corpus in corpora:
         examples.extend(
-            load_corpus_examples(corpus, max_audio_s=buckets[-1][0])
+            load_corpus_examples(
+                corpus, max_audio_s=buckets[-1][0], only_ids=only_ids
+            )
         )
     if not examples:
         raise RuntimeError("no decodable training examples found")

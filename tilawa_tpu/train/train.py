@@ -207,6 +207,11 @@ def main():  # pragma: no cover - CLI
     parser.add_argument("--no-augment", action="store_true")
     parser.add_argument("--weighting", default="prop",
                         choices=["prop", "sqrt", "uniform"])
+    parser.add_argument(
+        "--only-ids", default=None,
+        help="JSON from train.fit_report (or comma list): restrict training "
+             "to these sample ids",
+    )
     args = parser.parse_args()
 
     if args.init_from:
@@ -224,9 +229,20 @@ def main():  # pragma: no cover - CLI
         else tuple(args.corpora.split(","))
     )
     if len(corpora) > 1:
+        only_ids = None
+        if args.only_ids:
+            from pathlib import Path as _P
+
+            if _P(args.only_ids).exists():
+                import json as _json
+
+                rows = _json.loads(_P(args.only_ids).read_text())
+                only_ids = {r["id"] for r in rows}
+            else:
+                only_ids = set(args.only_ids.split(","))
         batches = bucketed_corpus_batches(
             corpora=corpora, augment=not args.no_augment,
-            weighting=args.weighting,
+            weighting=args.weighting, only_ids=only_ids,
         )
     else:
         batches = corpus_batches(batch_size=args.batch_size, corpus=corpora[0])
