@@ -69,10 +69,14 @@ def _load_runtime(quant: str | None = None):
     return EncoderRuntime(config)
 
 
-def _make_recognizer(tta: bool, quant: str | None = "int4"):
+def _make_recognizer(
+    tta: bool, quant: str | None = "int4", rerank_mode: str = "gated"
+):
     from tilawa_tpu.pipeline.predict import Recognizer
 
-    return Recognizer(_load_runtime(quant=quant), tta=tta)
+    return Recognizer(
+        _load_runtime(quant=quant), tta=tta, rerank_mode=rerank_mode
+    )
 
 
 @register("c2c-direct")
@@ -89,6 +93,21 @@ def _c2c_direct_mixed():
 @register("c2c-direct-mixed-tta")
 def _c2c_direct_mixed_tta():
     return _make_recognizer(tta=True)
+
+
+@register("fastconformer-zeroshot")
+def _fastconformer_zeroshot():
+    """Greedy decode + text match_verse only, no CTC rerank (reference:
+    experiments/nvidia-fastconformer/run.py:167-236 zero-shot baseline)."""
+    return _make_recognizer(tta=False, rerank_mode="never")
+
+
+@register("ctc-alignment")
+def _ctc_alignment():
+    """Forced-alignment rerank of every candidate, gate disabled (reference:
+    experiments/ctc-alignment/run.py + ctc_scorer.py:14-98 — candidates are
+    always CTC-scored against the model's own log-probs)."""
+    return _make_recognizer(tta=False, rerank_mode="always")
 
 
 class OracleExperiment:

@@ -62,12 +62,18 @@ class Recognizer:
         token_store: TokenStore | None = None,
         tokenizer=None,
         tta: bool = False,
+        rerank_mode: str = "gated",
     ):
+        """rerank_mode: "gated" (reference champion: CTC rerank only when
+        the text match scores < 0.80, c2c-direct/run.py:66), "always"
+        (ctc-alignment-style forced alignment of every candidate), or
+        "never" (nvidia-fastconformer-style zero-shot text matching)."""
         self.runtime = runtime
         self.db = db or QuranDB()
         self.token_store = token_store or TokenStore.load_default()
         self.tokenizer = tokenizer or self.token_store.tokenizer
         self.tta = tta
+        self.rerank_mode = rerank_mode
         self.last_profile: dict[str, float] = {}
 
     # ------------------------------------------------------------ decoding
@@ -98,7 +104,15 @@ class Recognizer:
             return _empty("")
 
         base = text_match(self.db, transcript)
-        use_ctc = base is None or float(base.get("score", 0.0)) < FALLBACK_THRESHOLD
+        if self.rerank_mode == "always":
+            use_ctc = True
+        elif self.rerank_mode == "never":
+            use_ctc = False
+        else:
+            use_ctc = (
+                base is None
+                or float(base.get("score", 0.0)) < FALLBACK_THRESHOLD
+            )
         # The expensive retrieval passes only run when the rerank will
         # consume them (identical results; the gate's decision depends on
         # the pass-1 score alone).
