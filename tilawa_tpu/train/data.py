@@ -127,6 +127,7 @@ def bucketed_corpus_batches(
     buckets: list[tuple[float, int]] | None = None,
     weighting: str = "prop",
     only_ids: set[str] | None = None,
+    rehearsal: float = 0.25,
 ):
     """Infinite iterator over length-bucketed batches from several corpora.
 
@@ -134,6 +135,10 @@ def bucketed_corpus_batches(
     of XLA programs instead of one worst-case pad. Bucket sampling:
     weighting="prop" ∝ example count, "sqrt" ∝ sqrt(count) (oversamples the
     sparse long-audio buckets), "uniform" equal per bucket.
+
+    only_ids focuses training on hard examples; `rehearsal` then mixes in
+    that fraction of the full corpus anyway (anti-forgetting: a pure
+    hard-only continuation measurably regressed the rest of the corpus).
     """
     buckets = buckets or BUCKETS
     examples: list[tuple[np.ndarray, list[int]]] = []
@@ -145,6 +150,17 @@ def bucketed_corpus_batches(
         )
     if not examples:
         raise RuntimeError("no decodable training examples found")
+    if only_ids is not None and rehearsal > 0:
+        rng0 = np.random.default_rng(seed + 7)
+        rest: list[tuple[np.ndarray, list[int]]] = []
+        for corpus in corpora:
+            rest.extend(
+                load_corpus_examples(corpus, max_audio_s=buckets[-1][0])
+            )
+        n_mix = int(len(rest) * rehearsal)
+        if n_mix:
+            picks = rng0.choice(len(rest), size=n_mix, replace=False)
+            examples.extend(rest[int(i)] for i in picks)
 
     by_bucket: list[list[tuple[np.ndarray, list[int]]]] = [[] for _ in buckets]
     for a, ids in examples:
