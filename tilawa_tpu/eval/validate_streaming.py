@@ -1,0 +1,246 @@
+"""Browser-parity streaming validation: replay corpus audio through the
+full RecitationTracker and score the emitted verse sequence.
+
+This is the tilawa-tpu equivalent of the reference's node harness that
+imports the actual browser source and replays corpus clips at 300 ms
+chunks plus a 4 s synthetic silence tail so the final-flush path fires
+(reference: web/frontend/test/validate-streaming.ts:15-31,
+validate-streaming-matrix.ts — the chunk-size sweep). Unlike the WS
+endpoint bench (eval/ws_bench.py), this drives the tracker in-process:
+no transport, deterministic, and the per-sample wall time measures the
+real compute cost of the streaming brain.
+
+Scoring matches the batch runner (ordered-subsequence score_sequence,
+reference: benchmark/runner.py:104-143); results land in
+benchmark/results/ via the same best-per-scope latest.json merge so
+streaming and batch rows sit side by side, like the reference's
+streaming-mode rows (README.md:218-219).
+
+Usage:
+  python -m tilawa_tpu.eval.validate_streaming --corpus v1 --chunk 0.3
+  python -m tilawa_tpu.eval.validate_streaming --matrix 0.2,0.3,0.5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from tilawa_tpu.data.audio import UnsupportedAudioFormat, load_audio
+from tilawa_tpu.data.quran import QuranDB
+from tilawa_tpu.data.token_store import TokenStore
+from tilawa_tpu.eval.metrics import score_sequence
+from tilawa_tpu.eval.runner import load_manifest, save_results
+from tilawa_tpu.streaming.config import STREAMING_PRESETS
+from tilawa_tpu.streaming.tracker import RecitationTracker
+
+SAMPLE_RATE = 16000
+CHUNK_SECONDS = 0.3          # validate-streaming.ts chunk cadence
+TAIL_SILENCE_SECONDS = 4.0   # TAIL_SILENCE_SECONDS, validate-streaming.ts:31
+
+
+def replay_sample(
+    tracker: RecitationTracker,
+    audio: np.ndarray,
+    chunk_seconds: float = CHUNK_SECONDS,
+    tail_silence: float = TAIL_SILENCE_SECONDS,
+) -> list[dict]:
+    """Feed one clip chunk-by-chunk plus a silence tail; return every
+    message the tracker emitted."""
+    chunk = max(1, int(SAMPLE_RATE * chunk_seconds))
+    padded = np.concatenate(
+        [np.asarray(audio, np.float32),
+         np.zeros(int(SAMPLE_RATE * tail_silence), np.float32)]
+    )
+    messages: list[dict] = []
+    for i in range(0, len(padded), chunk):
+        messages.extend(tracker.feed(padded[i:i + chunk]))
+    return messages
+
+
+def emissions_from_messages(messages: list[dict]) -> list[dict]:
+    """verse_match stream → ordered (surah, ayah) emissions, spans
+    expanded, dedup-preserving-order (matches ws_bench scoring)."""
+    out: list[dict] = []
+    seen: set[tuple[int, int]] = set()
+    for m in messages:
+        if m.get("type") != "verse_match":
+            continue
+        end = m.get("ayah_end") or m["ayah"]
+        for a in range(m["ayah"], end + 1):
+            if (m["surah"], a) not in seen:
+                seen.add((m["surah"], a))
+                out.append({"surah": m["surah"], "ayah": a})
+    return out
+
+
+def final_sequence_from_messages(messages: list[dict]) -> list[dict] | None:
+    """The StreamingHypothesis Viterbi answer, if one was flushed."""
+    for m in reversed(messages):
+        if m.get("type") == "final_sequence":
+            return [
+                {"surah": v["surah"], "ayah": v["ayah"]}
+                for v in m.get("verses", [])
+            ]
+    return None
+
+
+def run_validation(
+    transcribe,
+    corpus: str = "v1",
+    category: str | None = None,
+    chunk_seconds: float = CHUNK_SECONDS,
+    preset: str | None = None,
+    limit: int | None = None,
+    db: QuranDB | None = None,
+    token_store: TokenStore | None = None,
+    verbose: bool = True,
+) -> dict:
+    samples, corpus_dir = load_manifest(corpus)
+    if category:
+        samples = [s for s in samples if s.get("category") == category]
+    if limit:
+        samples = samples[:limit]
+
+    db = db or QuranDB()
+    token_store = token_store or TokenStore.load_default()
+    config = STREAMING_PRESETS[preset] if preset else None
+
+    totals = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
+    viterbi_totals = dict(totals)
+    latencies: list[float] = []
+    per_sample: list[dict] = []
+    skipped = 0
+    total_audio_s = 0.0
+
+    for s in samples:
+        path = corpus_dir / s["file"]
+        if not path.exists():
+            skipped += 1
+            continue
+        try:
+            audio = load_audio(path)
+        except UnsupportedAudioFormat:
+            skipped += 1
+            continue
+        expected = s.get(
+            "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]
+        )
+        tracker = RecitationTracker(
+            transcribe, db=db, token_store=token_store, config=config
+        )
+        t0 = time.perf_counter()
+        messages = replay_sample(tracker, audio, chunk_seconds)
+        elapsed = time.perf_counter() - t0
+        latencies.append(elapsed)
+        total_audio_s += len(audio) / SAMPLE_RATE
+
+        emissions = emissions_from_messages(messages)
+        scores = score_sequence(expected, emissions)
+        viterbi = final_sequence_from_messages(messages)
+        v_scores = score_sequence(expected, viterbi) if viterbi else scores
+        for k in totals:
+            totals[k] += scores[k]
+            viterbi_totals[k] += v_scores[k]
+        per_sample.append(
+            {
+                "id": s["id"],
+                "expected": expected,
+                "predicted": emissions,
+                "final_sequence": viterbi,
+                **scores,
+                "latency": elapsed,
+            }
+        )
+        if verbose:
+            got = [(e["surah"], e["ayah"]) for e in emissions]
+            print(
+                f"  {s['id']}: seq_acc={scores['sequence_accuracy']:.2f} "
+                f"got={got} wall={elapsed:.2f}s"
+            )
+
+    n = len(per_sample)
+    wall = sum(latencies)
+    result = {
+        "name": f"tracker-streaming{'-' + preset if preset else ''}",
+        "recall": totals["recall"] / n if n else 0.0,
+        "precision": totals["precision"] / n if n else 0.0,
+        "sequence_accuracy": totals["sequence_accuracy"] / n if n else 0.0,
+        "viterbi_sequence_accuracy": viterbi_totals["sequence_accuracy"] / n
+        if n else 0.0,
+        "total": n,
+        "skipped": skipped,
+        "avg_latency": wall / n if n else 0.0,
+        "p50_latency": sorted(latencies)[n // 2] if n else 0.0,
+        "p90_latency": sorted(latencies)[int(0.9 * (n - 1))] if n else 0.0,
+        "audio_sec_per_sec": total_audio_s / wall if wall else 0.0,
+        "model_size": 0,
+        "per_sample": per_sample,
+    }
+    return result
+
+
+def _real_transcribe():
+    from tilawa_tpu.models.fastconformer import FastConformerConfig
+    from tilawa_tpu.pipeline.predict import Recognizer
+    from tilawa_tpu.pipeline.runtime import EncoderRuntime
+    from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+
+    ckpt = latest_checkpoint()
+    if ckpt:
+        config, variables = load_variables(ckpt)
+        runtime = EncoderRuntime(config, variables)
+    else:
+        runtime = EncoderRuntime(FastConformerConfig.large())
+    return Recognizer(runtime).transcribe_result
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="tracker streaming validation (browser-parity harness)"
+    )
+    parser.add_argument("--corpus", default="v1")
+    parser.add_argument("--category", default=None)
+    parser.add_argument("--chunk", type=float, default=CHUNK_SECONDS)
+    parser.add_argument(
+        "--matrix", default=None,
+        help="comma-separated chunk sizes to sweep (validate-streaming-matrix)",
+    )
+    parser.add_argument("--preset", default=None,
+                        choices=[None, *STREAMING_PRESETS])
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--no-save", action="store_true")
+    args = parser.parse_args(argv)
+
+    transcribe = _real_transcribe()
+    chunks = (
+        [float(c) for c in args.matrix.split(",")] if args.matrix
+        else [args.chunk]
+    )
+    db, store = QuranDB(), TokenStore.load_default()
+    for chunk_s in chunks:
+        print(f"== tracker streaming: corpus={args.corpus} chunk={chunk_s}s "
+              f"preset={args.preset or 'default'} ==")
+        result = run_validation(
+            transcribe, corpus=args.corpus, category=args.category,
+            chunk_seconds=chunk_s, preset=args.preset, limit=args.limit,
+            db=db, token_store=store,
+        )
+        summary = {
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in result.items() if k != "per_sample"
+        }
+        print(json.dumps(summary, ensure_ascii=False))
+        if not args.no_save:
+            save_results(
+                [result], mode="streaming", category=args.category,
+                chunk_seconds=chunk_s,
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,7 +61,11 @@ class EncoderRuntime:
                 jnp.zeros((1, 32000), jnp.float32),
                 jnp.array([32000], jnp.int32),
             )
-        self.variables = variables
+        # Checkpoint loads hand back host numpy arrays; pin them on the
+        # device ONCE. Otherwise every jitted call re-uploads the full
+        # weight set, which on the tunneled backend is a multi-second
+        # network transfer per forward.
+        self.variables = jax.device_put(variables)
         self._apply = jax.jit(
             functools.partial(
                 self.model.apply, deterministic=True, use_running_average=True
