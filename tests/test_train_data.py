@@ -88,3 +88,72 @@ def test_augment_respects_pad(v1_examples):
         audio, alens, _t, _tl = next(it)
         assert (alens <= audio.shape[1]).all()
         assert np.abs(audio).max() <= 1.0
+
+
+class TestRandomWindowCrop:
+    def _mk(self):
+        sr = 16000
+        audio = np.arange(8 * sr, dtype=np.float32) / (8 * sr)
+        ids = [10, 20, 30, 40]
+        spans = np.array(
+            [[0, 1 * sr], [2 * sr, 3 * sr], [4 * sr, 5 * sr], [6 * sr, 7 * sr]]
+        )
+        return audio, ids, spans
+
+    def test_tokens_match_window(self):
+        from tilawa_tpu.train.data import random_window_crop
+
+        audio, ids, spans = self._mk()
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            a2, kept = random_window_crop(
+                audio, ids, spans, rng, silence_prob=0.0
+            )
+            assert set(kept) <= set(ids)
+            assert len(a2) <= len(audio)
+            # kept tokens appear in corpus order
+            assert kept == [t for t in ids if t in set(kept)]
+
+    def test_full_window_keeps_all(self):
+        from tilawa_tpu.train.data import random_window_crop
+
+        audio, ids, spans = self._mk()
+
+        class FixedRng:
+            def integers(self, lo, hi):
+                return hi - 1   # longest window
+
+            def random(self):
+                return 0.0      # prefix mode, no silence branches
+
+            def uniform(self, a, b):
+                return a
+
+        a2, kept = random_window_crop(
+            audio, ids, spans, FixedRng(), silence_prob=0.0
+        )
+        assert kept == ids and len(a2) == len(audio)
+
+    def test_max_len_respected(self):
+        from tilawa_tpu.train.data import random_window_crop
+
+        audio, ids, spans = self._mk()
+        rng = np.random.default_rng(1)
+        for _ in range(20):
+            a2, _kept = random_window_crop(
+                audio, ids, spans, rng, max_len=4 * 16000
+            )
+            assert len(a2) <= 4 * 16000
+
+    def test_crop_prob_batches_run(self, tmp_path, monkeypatch):
+        # crop_prob path with no alignment assets degrades to full-length
+        from tilawa_tpu.train import data as D
+
+        monkeypatch.setattr(
+            "tilawa_tpu.train.align.load_alignments", lambda c: {}
+        )
+        it = D.bucketed_corpus_batches(
+            corpora=("v1",), seed=0, crop_prob=0.5
+        )
+        audio, audio_lens, tokens, token_lens = next(it)
+        assert audio.ndim == 2 and (token_lens > 0).all()

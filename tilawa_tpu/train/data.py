@@ -22,10 +22,12 @@ from tilawa_tpu.data.token_store import TokenStore
 def load_corpus_examples(
     corpus: str = "v1", max_audio_s: float = 20.0,
     only_ids: set[str] | None = None,
-) -> list[tuple[np.ndarray, list[int]]]:
+    return_ids: bool = False,
+):
     """(waveform, target token ids) pairs for every decodable corpus clip.
     only_ids restricts to specific sample ids (hard-example continuation
-    driven by tilawa_tpu.train.fit_report)."""
+    driven by tilawa_tpu.train.fit_report). return_ids=True yields
+    (sample_id, waveform, token_ids) triples instead."""
     from tilawa_tpu.eval.runner import load_manifest
 
     store = TokenStore.load_default()
@@ -49,7 +51,7 @@ def load_corpus_examples(
         ):
             ids.extend(store.ids_for_key(e["surah"], e["ayah"]) or [])
         if ids:
-            out.append((audio, ids))
+            out.append((s["id"], audio, ids) if return_ids else (audio, ids))
     return out
 
 
@@ -120,6 +122,86 @@ def _augment(audio: np.ndarray, rng: np.random.Generator, pad: int) -> np.ndarra
     return np.clip(audio, -1.0, 1.0).astype(np.float32)
 
 
+def random_window_crop(
+    audio: np.ndarray,
+    ids: list[int],
+    spans: np.ndarray,
+    rng: np.random.Generator,
+    min_crop_s: float = 1.2,
+    silence_prob: float = 0.4,
+    max_len: int | None = None,
+) -> tuple[np.ndarray, list[int]]:
+    """Cut a random audio window and keep the tokens fully inside it.
+
+    Streaming feeds the encoder partial windows — prefixes during
+    discovery, tail-trimmed suffixes while tracking, silence-padded tails
+    at flush (reference windowing policy: tracker.ts:549-551,
+    TAIL_SILENCE_SECONDS validate-streaming.ts:31; SURVEY.md §5.7). A model
+    trained only on full clips collapses on those shapes; this crop, with
+    labels derived from CTC forced alignment spans (train/align.py), is
+    the training-time mirror of that serving distribution.
+
+    spans: [L, 2] token (start, end) in sample units, aligned to `ids`.
+    """
+    sr = 16000
+    n = len(audio)
+    min_len = min(n, int(min_crop_s * sr))
+    length = int(rng.integers(min_len, n + 1))
+    mode = rng.random()
+    if mode < 0.4:          # prefix (discovery window)
+        s0 = 0
+    elif mode < 0.6:        # suffix (post-trim tracking window)
+        s0 = n - length
+    else:                   # interior window
+        s0 = int(rng.integers(0, n - length + 1))
+    s1 = s0 + length
+
+    def tokens_in(a: int, b: int) -> list[int]:
+        keep = (spans[:, 0] >= a) & (spans[:, 1] <= b)
+        return [ids[i] for i in np.nonzero(keep)[0]]
+
+    kept = tokens_in(s0, s1)
+    if not kept and rng.random() < 0.7:
+        # mostly avoid label-free crops: retry once with a longer window
+        length = int(rng.integers((min_len + n) // 2, n + 1))
+        s0 = 0 if rng.random() < 0.5 else int(rng.integers(0, n - length + 1))
+        s1 = s0 + length
+        kept = tokens_in(s0, s1)
+
+    out = audio[s0:s1]
+    if rng.random() < silence_prob:
+        # real in-length silence (the tracker pads the flush window with
+        # zeros INSIDE the valid length — the encoder must map it to blanks)
+        tail = np.zeros(int(rng.uniform(0.2, 2.0) * sr), np.float32)
+        out = np.concatenate([out, tail])
+    if rng.random() < silence_prob * 0.5:
+        out = np.concatenate(
+            [np.zeros(int(rng.uniform(0.1, 0.5) * sr), np.float32), out]
+        )
+    if max_len is not None:
+        out = out[:max_len]
+    return out.astype(np.float32), kept
+
+
+def _attach_spans(
+    corpora: tuple[str, ...], examples_with_ids: list[tuple[str, np.ndarray, list[int]]]
+) -> list[tuple[np.ndarray, list[int], np.ndarray | None]]:
+    """Join (id, audio, tokens) with forced-alignment spans where known."""
+    from tilawa_tpu.train.align import load_alignments
+
+    aligned: dict[str, dict] = {}
+    for corpus in corpora:
+        aligned.update(load_alignments(corpus))
+    out = []
+    for cid, audio, ids in examples_with_ids:
+        entry = aligned.get(cid)
+        spans = None
+        if entry is not None and list(entry["token_ids"]) == list(ids):
+            spans = np.stack([entry["starts"], entry["ends"]], axis=1)
+        out.append((audio, ids, spans))
+    return out
+
+
 def bucketed_corpus_batches(
     corpora: tuple[str, ...] = ("v1", "v2", "v3"),
     seed: int = 0,
@@ -128,6 +210,7 @@ def bucketed_corpus_batches(
     weighting: str = "prop",
     only_ids: set[str] | None = None,
     rehearsal: float = 0.25,
+    crop_prob: float = 0.0,
 ):
     """Infinite iterator over length-bucketed batches from several corpora.
 
@@ -139,39 +222,53 @@ def bucketed_corpus_batches(
     only_ids focuses training on hard examples; `rehearsal` then mixes in
     that fraction of the full corpus anyway (anti-forgetting: a pure
     hard-only continuation measurably regressed the rest of the corpus).
+
+    crop_prob > 0 replaces that fraction of examples with random window
+    crops labelled via forced-alignment spans (random_window_crop) —
+    the streaming-robustness axis. Examples without alignments always
+    train full-length.
     """
     buckets = buckets or BUCKETS
-    examples: list[tuple[np.ndarray, list[int]]] = []
+    raw: list[tuple[str, np.ndarray, list[int]]] = []
     for corpus in corpora:
-        examples.extend(
+        raw.extend(
             load_corpus_examples(
-                corpus, max_audio_s=buckets[-1][0], only_ids=only_ids
+                corpus, max_audio_s=buckets[-1][0], only_ids=only_ids,
+                return_ids=True,
             )
         )
-    if not examples:
+    if not raw:
         raise RuntimeError("no decodable training examples found")
     if only_ids is not None and rehearsal > 0:
         rng0 = np.random.default_rng(seed + 7)
-        rest: list[tuple[np.ndarray, list[int]]] = []
+        rest: list[tuple[str, np.ndarray, list[int]]] = []
         for corpus in corpora:
             rest.extend(
-                load_corpus_examples(corpus, max_audio_s=buckets[-1][0])
+                load_corpus_examples(
+                    corpus, max_audio_s=buckets[-1][0], return_ids=True
+                )
             )
         n_mix = int(len(rest) * rehearsal)
         if n_mix:
             picks = rng0.choice(len(rest), size=n_mix, replace=False)
-            examples.extend(rest[int(i)] for i in picks)
+            raw.extend(rest[int(i)] for i in picks)
+    examples = (
+        _attach_spans(corpora, raw) if crop_prob > 0
+        else [(a, ids, None) for _cid, a, ids in raw]
+    )
 
-    by_bucket: list[list[tuple[np.ndarray, list[int]]]] = [[] for _ in buckets]
-    for a, ids in examples:
+    by_bucket: list[list[tuple[np.ndarray, list[int], np.ndarray | None]]] = [
+        [] for _ in buckets
+    ]
+    for a, ids, spans in examples:
         for bi, (sec, _bs) in enumerate(buckets):
             if len(a) <= sec * 16000:
-                by_bucket[bi].append((a, ids))
+                by_bucket[bi].append((a, ids, spans))
                 break
     live = [bi for bi, ex in enumerate(by_bucket) if ex]
     token_pads = []
     for bi, ex in enumerate(by_bucket):
-        tp = max((len(ids) for _a, ids in ex), default=8)
+        tp = max((len(ids) for _a, ids, _sp in ex), default=8)
         token_pads.append(int(np.ceil(tp / 16) * 16))
     weights = np.array([len(by_bucket[bi]) for bi in live], dtype=np.float64)
     if weighting == "sqrt":
@@ -189,7 +286,9 @@ def bucketed_corpus_batches(
         picks = rng.choice(len(pool), size=min(bs, len(pool)), replace=len(pool) < bs)
         chunk = []
         for i in picks:
-            a, ids = pool[int(i)]
+            a, ids, spans = pool[int(i)]
+            if spans is not None and len(spans) and rng.random() < crop_prob:
+                a, ids = random_window_crop(a, ids, spans, rng, max_len=pad)
             if augment:
                 a = _augment(a, rng, pad)
             chunk.append((a, ids))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tilawa_tpu.models.fastconformer import FastConformerConfig
-from tilawa_tpu.ops.quant import INT4_BLOCK, pack_int4
+from tilawa_tpu.ops.quant import INT4_BLOCK, pack_int4, unpack_int4
 
 # Module names whose `kernel` is a matmul weight (rank-2, or rank-3 when
 # scan-stacked over layers). Convs/LayerNorms are not in this set.
@@ -66,6 +66,49 @@ def quantize_variables(variables: dict, block: int = INT4_BLOCK) -> dict:
 
 def quantized_config(config: FastConformerConfig, **overrides) -> FastConformerConfig:
     return dataclasses.replace(config, quant="int4", **overrides)
+
+
+def _unpack_kernel(packed: np.ndarray, scales: np.ndarray, block: int) -> np.ndarray:
+    if packed.ndim == 2:
+        return unpack_int4(packed, scales, block)
+    # scan-stacked [L, K//2, N]
+    return np.stack(
+        [unpack_int4(packed[i], scales[i], block) for i in range(packed.shape[0])]
+    )
+
+
+def dequantize_params(params: dict, block: int = INT4_BLOCK) -> dict:
+    """Inverse of quantize_params: packed int4 leaves back to fp32 kernels.
+    The round trip is lossy (that's the point of int4) — used to warm-start
+    continuation training when only a quantized export survives."""
+    out = {}
+    for name, sub in params.items():
+        if isinstance(sub, dict) and "packed" in sub and "scales" in sub:
+            entry = {
+                "kernel": jnp.asarray(
+                    _unpack_kernel(
+                        np.asarray(sub["packed"]), np.asarray(sub["scales"]), block
+                    )
+                )
+            }
+            if "bias" in sub:
+                entry["bias"] = sub["bias"]
+            out[name] = entry
+        elif isinstance(sub, dict):
+            out[name] = dequantize_params(sub, block)
+        else:
+            out[name] = sub
+    return out
+
+
+def dequantize_variables(variables: dict, block: int = INT4_BLOCK) -> dict:
+    new = dict(variables)
+    new["params"] = dequantize_params(dict(variables["params"]), block)
+    return new
+
+
+def dequantized_config(config: FastConformerConfig, **overrides) -> FastConformerConfig:
+    return dataclasses.replace(config, quant=None, **overrides)
 
 
 def packed_size_bytes(variables: dict) -> int:
