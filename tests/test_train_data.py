@@ -111,8 +111,28 @@ class TestRandomWindowCrop:
             )
             assert set(kept) <= set(ids)
             assert len(a2) <= len(audio)
-            # kept tokens appear in corpus order
-            assert kept == [t for t in ids if t in set(kept)]
+            # kept tokens are a CONTIGUOUS run in corpus order
+            if kept:
+                i = ids.index(kept[0])
+                assert ids[i : i + len(kept)] == kept
+
+    def test_cuts_snap_to_token_gaps(self):
+        # no crop may slice through a token span: every kept window's
+        # audio must fully contain every kept token's span
+        from tilawa_tpu.train.data import random_window_crop
+
+        audio, ids, spans = self._mk()
+        rng = np.random.default_rng(3)
+        for _ in range(100):
+            a2, kept = random_window_crop(
+                audio, ids, spans, rng, silence_prob=0.0
+            )
+            if not kept:
+                continue
+            i0 = ids.index(kept[0])
+            i1 = i0 + len(kept)
+            # window length covers the kept spans entirely
+            assert len(a2) >= spans[i1 - 1][1] - spans[i0][0]
 
     def test_full_window_keeps_all(self):
         from tilawa_tpu.train.data import random_window_crop
@@ -121,13 +141,16 @@ class TestRandomWindowCrop:
 
         class FixedRng:
             def integers(self, lo, hi):
-                return hi - 1   # longest window
+                return lo       # interior start at first token
 
             def random(self):
                 return 0.0      # prefix mode, no silence branches
 
             def uniform(self, a, b):
                 return a
+
+            def choice(self, valid):
+                return valid[-1]  # furthest cut → full window
 
         a2, kept = random_window_crop(
             audio, ids, spans, FixedRng(), silence_prob=0.0

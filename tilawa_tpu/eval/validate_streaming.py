@@ -32,7 +32,7 @@ import numpy as np
 from tilawa_tpu.data.audio import UnsupportedAudioFormat, load_audio
 from tilawa_tpu.data.quran import QuranDB
 from tilawa_tpu.data.token_store import TokenStore
-from tilawa_tpu.eval.metrics import score_sequence
+from tilawa_tpu.eval.metrics import exact_set_accuracy, score_sequence
 from tilawa_tpu.eval.runner import load_manifest, save_results
 from tilawa_tpu.streaming.config import STREAMING_PRESETS
 from tilawa_tpu.streaming.tracker import RecitationTracker
@@ -111,6 +111,7 @@ def run_validation(
 
     totals = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
     viterbi_totals = dict(totals)
+    exact_set_total = 0.0
     latencies: list[float] = []
     per_sample: list[dict] = []
     skipped = 0
@@ -145,6 +146,7 @@ def run_validation(
         for k in totals:
             totals[k] += scores[k]
             viterbi_totals[k] += v_scores[k]
+        exact_set_total += exact_set_accuracy(expected, emissions)
         per_sample.append(
             {
                 "id": s["id"],
@@ -169,6 +171,7 @@ def run_validation(
         "recall": totals["recall"] / n if n else 0.0,
         "precision": totals["precision"] / n if n else 0.0,
         "sequence_accuracy": totals["sequence_accuracy"] / n if n else 0.0,
+        "exact_set_accuracy": exact_set_total / n if n else 0.0,
         "viterbi_sequence_accuracy": viterbi_totals["sequence_accuracy"] / n
         if n else 0.0,
         "total": n,
