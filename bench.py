@@ -40,10 +40,10 @@ def main() -> None:
     from tilawa_tpu.models.fastconformer import FastConformerConfig
     from tilawa_tpu.pipeline.predict import Recognizer
     from tilawa_tpu.pipeline.runtime import EncoderRuntime
-    from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+    from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
 
     t_setup = time.perf_counter()
-    ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
+    ckpt = shipped_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
         if config.quant != "int4":

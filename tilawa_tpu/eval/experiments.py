@@ -52,9 +52,9 @@ def _load_runtime(quant: str | None = None):
 
     from tilawa_tpu.models.fastconformer import FastConformerConfig
     from tilawa_tpu.pipeline.runtime import EncoderRuntime
-    from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+    from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
 
-    ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
+    ckpt = shipped_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
         if quant and config.quant != quant:
@@ -278,11 +278,11 @@ class PrunedCTCExperiment:
         if name not in self._recognizers:
             from tilawa_tpu.pipeline.predict import Recognizer
             from tilawa_tpu.pipeline.runtime import EncoderRuntime
-            from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+            from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
             from tilawa_tpu.train.prune import prune_layers
 
             keep, mode = self.VARIANTS[name]
-            ckpt = os.getenv("TILAWA_CHECKPOINT") or latest_checkpoint()
+            ckpt = shipped_checkpoint()
             if ckpt:
                 config, variables = load_variables(ckpt)
                 config, variables = prune_layers(config, variables, keep, mode)

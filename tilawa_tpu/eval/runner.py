@@ -261,6 +261,9 @@ def main(argv=None):
     parser.add_argument("--model", default=None,
                         help="variant for list_models() experiments "
                              "(reference: runner.py:162-190 expansion)")
+    parser.add_argument("--no-save", action="store_true",
+                        help="diagnostic run: don't write benchmark/results "
+                             "(keeps checkpoint-bisect runs out of latest.json)")
     args = parser.parse_args(argv)
 
     if args.list:
@@ -298,10 +301,14 @@ def main(argv=None):
         streaming_pipeline=streaming_pipeline,
     )
     print_table([result])
-    out = save_results(
-        [result], mode=args.mode, category=args.category, chunk_seconds=args.chunk
-    )
-    print(f"results saved to {out}")
+    if args.no_save:
+        print("results NOT saved (--no-save)")
+    else:
+        out = save_results(
+            [result], mode=args.mode, category=args.category,
+            chunk_seconds=args.chunk,
+        )
+        print(f"results saved to {out}")
 
 
 if __name__ == "__main__":

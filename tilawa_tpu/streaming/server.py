@@ -134,9 +134,9 @@ def _real_transcribe():
     from tilawa_tpu.models.fastconformer import FastConformerConfig
     from tilawa_tpu.pipeline.predict import Recognizer
     from tilawa_tpu.pipeline.runtime import EncoderRuntime
-    from tilawa_tpu.train.checkpoint import latest_checkpoint, load_variables
+    from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
 
-    ckpt = latest_checkpoint()
+    ckpt = shipped_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
         runtime = EncoderRuntime(config, variables)

@@ -68,8 +68,9 @@ EXPORTS_DIR = Path(os.getenv("TILAWA_EXPORTS_DIR", str(_REPO_ROOT / "exports")))
 
 
 def latest_checkpoint(root: str | Path | None = None) -> Path | None:
-    """Newest training checkpoint; falls back to the shipped export bundle
-    (exports/ is tracked in git, checkpoints/ is not)."""
+    """Newest training checkpoint under `root` (resume-training semantics);
+    falls back to the shipped export bundle when no training checkpoints
+    exist."""
     root = Path(root) if root else CHECKPOINT_DIR
     candidates = (
         [p.parent for p in root.rglob("variables.msgpack")]
@@ -82,3 +83,22 @@ def latest_checkpoint(root: str | Path | None = None) -> Path | None:
         if bundles:
             return max(bundles, key=lambda p: p.stat().st_mtime)
     return None
+
+
+def shipped_checkpoint() -> Path | None:
+    """Weights for serving/eval/bench: `TILAWA_CHECKPOINT` env override,
+    else the newest *shipped* export bundle, else the newest training
+    checkpoint.
+
+    Serving paths must NOT pick up in-flight training checkpoints
+    implicitly — a regressed fine-tune under checkpoints/ once silently
+    became every eval's default model. Training resume keeps using
+    latest_checkpoint()."""
+    env = os.getenv("TILAWA_CHECKPOINT")
+    if env:
+        return Path(env)
+    if EXPORTS_DIR.exists():
+        bundles = [p.parent for p in EXPORTS_DIR.rglob("variables.msgpack")]
+        if bundles:
+            return max(bundles, key=lambda p: p.stat().st_mtime)
+    return latest_checkpoint()
