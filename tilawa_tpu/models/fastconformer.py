@@ -61,6 +61,13 @@ class FastConformerConfig:
     # memory drops from O(depth) to O(1) blocks at ~30% extra FLOPs
     # (training-only knob; HBM is the scaling wall, not the MXU).
     remat: bool = False
+    # SpecAugment on the mel features, applied only when deterministic=False
+    # (training). Off by default; training recipes switch it on
+    # (tilawa_tpu/ops/specaug.py for why).
+    sa_freq_masks: int = 0
+    sa_freq_width: int = 27
+    sa_time_masks: int = 0
+    sa_time_frac: float = 0.05
 
     @property
     def blank_id(self) -> int:
@@ -397,6 +404,14 @@ class FastConformerCTC(nn.Module):
         feats, feat_lengths = log_mel_spectrogram(
             audio, lengths, use_pallas=use_pallas_mel
         )
+        if not deterministic and (cfg.sa_freq_masks or cfg.sa_time_masks):
+            from tilawa_tpu.ops.specaug import spec_augment
+
+            feats = spec_augment(
+                feats, feat_lengths, self.make_rng("dropout"),
+                freq_masks=cfg.sa_freq_masks, freq_width=cfg.sa_freq_width,
+                time_masks=cfg.sa_time_masks, time_frac=cfg.sa_time_frac,
+            )
         x = ConvSubsampling(cfg, name="subsampling")(feats, feat_lengths)
         enc_lengths = subsampled_length(feat_lengths, cfg.subsampling_factor)
         t = x.shape[1]

@@ -65,12 +65,31 @@ def ctc_loss_fn(log_probs, enc_lens, tokens, token_lens, blank_id: int):
     return losses.mean()
 
 
-def make_train_step(model: FastConformerCTC, tx, blank_id: int):
+def make_train_step(model: FastConformerCTC, tx, blank_id: int, freeze_bn: bool = False):
+    """freeze_bn=True runs BatchNorm with frozen running statistics —
+    continuation training on a shifted input distribution (window crops,
+    in-length silence) otherwise drifts the running stats that inference
+    depends on, and the params co-adapt to the drifted stats (measured:
+    splicing original stats back into a crop-finetuned model DROPPED
+    v1-short from 53% to 6%)."""
+
     def train_step(state: TrainState, batch, rng):
         audio, audio_lens, tokens, token_lens = batch
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
+            if freeze_bn:
+                log_probs, enc_lens = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    audio, audio_lens,
+                    deterministic=False,
+                    use_running_average=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                return (
+                    ctc_loss_fn(log_probs, enc_lens, tokens, token_lens, blank_id),
+                    state.batch_stats,
+                )
             (log_probs, enc_lens), updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 audio, audio_lens,
@@ -129,12 +148,14 @@ def train(
     checkpoint_dir: str | Path | None = None,
     checkpoint_every: int = 500,
     init_from: str | Path | None = None,
+    freeze_bn: bool = False,
+    warmup_steps: int = 100,
 ):
     """Run the training loop; returns (model, final state, loss history).
 
     init_from: checkpoint dir to warm-start params/batch_stats from (fresh
     optimizer state — continuation training, not exact resume)."""
-    tx = make_optimizer(lr=lr, total_steps=steps)
+    tx = make_optimizer(lr=lr, total_steps=steps, warmup_steps=warmup_steps)
     model, state = init_state(config, tx, seed=seed)
     if init_from:
         from tilawa_tpu.train.checkpoint import load_variables
@@ -152,7 +173,10 @@ def train(
         state = state.replace(
             params=shard_variables({"params": state.params}, mesh)["params"],
         )
-    step_fn = jax.jit(make_train_step(model, tx, config.blank_id), donate_argnums=0)
+    step_fn = jax.jit(
+        make_train_step(model, tx, config.blank_id, freeze_bn=freeze_bn),
+        donate_argnums=0,
+    )
     rng = jax.random.PRNGKey(seed + 1)
 
     history: list[float] = []
