@@ -47,9 +47,12 @@ def replay_sample(
     audio: np.ndarray,
     chunk_seconds: float = CHUNK_SECONDS,
     tail_silence: float = TAIL_SILENCE_SECONDS,
+    on_chunk=None,
 ) -> list[dict]:
     """Feed one clip chunk-by-chunk plus a silence tail; return every
-    message the tracker emitted."""
+    message the tracker emitted. `on_chunk(fed_samples)` fires before each
+    feed so stateful fake transcribers (eval/tracker_oracle.py) can map the
+    tracker's rolling window back to absolute clip time."""
     chunk = max(1, int(SAMPLE_RATE * chunk_seconds))
     padded = np.concatenate(
         [np.asarray(audio, np.float32),
@@ -57,7 +60,10 @@ def replay_sample(
     )
     messages: list[dict] = []
     for i in range(0, len(padded), chunk):
-        messages.extend(tracker.feed(padded[i:i + chunk]))
+        end = min(i + chunk, len(padded))
+        if on_chunk is not None:
+            on_chunk(end)
+        messages.extend(tracker.feed(padded[i:end]))
     return messages
 
 
@@ -98,6 +104,8 @@ def run_validation(
     db: QuranDB | None = None,
     token_store: TokenStore | None = None,
     verbose: bool = True,
+    transcribe_factory=None,
+    name: str | None = None,
 ) -> dict:
     samples, corpus_dir = load_manifest(corpus)
     if category:
@@ -130,11 +138,20 @@ def run_validation(
         expected = s.get(
             "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]
         )
+        on_chunk = None
+        sample_transcribe = transcribe
+        if transcribe_factory is not None:
+            made = transcribe_factory(s, audio)
+            if made is None:
+                skipped += 1
+                continue
+            sample_transcribe = made
+            on_chunk = getattr(made, "on_chunk", None)
         tracker = RecitationTracker(
-            transcribe, db=db, token_store=token_store, config=config
+            sample_transcribe, db=db, token_store=token_store, config=config
         )
         t0 = time.perf_counter()
-        messages = replay_sample(tracker, audio, chunk_seconds)
+        messages = replay_sample(tracker, audio, chunk_seconds, on_chunk=on_chunk)
         elapsed = time.perf_counter() - t0
         latencies.append(elapsed)
         total_audio_s += len(audio) / SAMPLE_RATE
@@ -167,7 +184,7 @@ def run_validation(
     n = len(per_sample)
     wall = sum(latencies)
     result = {
-        "name": f"tracker-streaming{'-' + preset if preset else ''}",
+        "name": name or f"tracker-streaming{'-' + preset if preset else ''}",
         "recall": totals["recall"] / n if n else 0.0,
         "precision": totals["precision"] / n if n else 0.0,
         "sequence_accuracy": totals["sequence_accuracy"] / n if n else 0.0,

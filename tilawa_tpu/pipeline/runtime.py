@@ -181,6 +181,12 @@ class OracleRuntime:
         ids: list[int] = []
         for surah, ayah, ayah_end in refs:
             ids.extend(self._lookup(surah, ayah, ayah_end))
+        return self.render_ids(ids)
+
+    def render_ids(self, ids: list[int]) -> tuple[np.ndarray, int]:
+        """Render log-probs for an explicit token-id sequence (used by the
+        tracker oracle, eval/tracker_oracle.py, where window-cropped ids
+        come from forced alignments rather than verse refs)."""
         if self.error_rate > 0:
             ids = [
                 int(self._rng.integers(0, self.vocab_size - 1))
