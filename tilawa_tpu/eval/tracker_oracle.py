@@ -149,6 +149,14 @@ def make_factory(
 
 
 def main(argv=None) -> int:
+    # Policy-only diagnostic: no acoustic model runs, so never pay for a
+    # remote TPU tunnel. The harness pins JAX_PLATFORMS=axon in the env and
+    # shell-level overrides don't stick; jax.config.update after import is
+    # the reliable override (same approach as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     parser = argparse.ArgumentParser(description="tracker oracle ceiling")
     parser.add_argument("--corpus", default="v1")
     parser.add_argument("--category", default=None)

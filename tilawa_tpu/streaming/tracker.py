@@ -62,6 +62,32 @@ FUSION_TEXT_W, FUSION_ACOUSTIC_W, FUSION_LENGTH_W = 0.6, 0.25, 0.15
 FUSION_LOW_TEXT_W, FUSION_LOW_ACOUSTIC_W, FUSION_LOW_LENGTH_W = 0.45, 0.4, 0.15
 FUSION_SELECTION_GAP = 0.08
 SHORT_VERSE_MAX_TOKENS = 15
+# Minimum text-score lead over the best non-overlapping candidate before a
+# live non-continuation commit; near-ties mean the transcript is still a
+# shared prefix of several verses and more audio will disambiguate
+# (reference: web/server.py:914-945 requires gap >= 0.05 for ambiguous
+# strong-continuation commits; mid-verse ties are the same situation).
+AMBIGUITY_GAP = 0.04
+
+
+def prefix_blend_score(text: str, cand_text: str, base: float) -> float:
+    """Prefix-aware candidate score: mid-verse the query covers only the
+    head of the true verse, so blend a prefix ratio with the full ratio,
+    weighted by coverage (VerseTracker semantics, reference:
+    shared/verse_tracker.py:40-65). Returns max(base, blend)."""
+    qw = text.split()
+    n_q = len(qw)
+    cw = cand_text.split()
+    if n_q < 3 or len(cw) <= n_q:
+        return base
+    full_r = ratio(text, cand_text)
+    pref_r = ratio(text, " ".join(cw[:n_q]))
+    coverage = n_q / len(cw)
+    if coverage > 0.8:
+        blended = 0.3 * pref_r + 0.7 * full_r
+    else:
+        blended = 0.7 * pref_r + 0.3 * full_r
+    return max(base, blended)
 
 
 @dataclasses.dataclass
@@ -409,20 +435,34 @@ class RecitationTracker:
                        reason="transcript too short")
             return messages
 
-        # Residual-overlap skip vs the last emitted verse.
+        # Residual overlap vs the last emitted verse. Live cycles skip the
+        # whole transcript; the final flush instead strips the leading
+        # residual and matches only the genuinely-new tail (reference:
+        # web/server.py:528-559 _strip_leading_residual — skipping at flush
+        # drops recall on multi-ayah clips, but matching the raw residual
+        # lets the continuation bonus commit a phantom next verse).
         if (
             self.last_emitted_text
             and self.last_commit_evidence
             and self.last_commit_evidence.strong
-            and not final_flush
         ):
             residual = partial_ratio(text, self.last_emitted_text)
             text_chars = len(text.replace(" ", ""))
             emitted_chars = len(self.last_emitted_text.replace(" ", ""))
-            if residual > 0.7 and text_chars <= math.ceil(emitted_chars * 1.15):
-                self._diag(type="silence_skip", mode="discovery",
-                           reason=f"residual={residual:.3f}")
-                return messages
+            looks_like_leftover = text_chars <= math.ceil(emitted_chars * 1.15)
+            if residual > 0.7 and looks_like_leftover:
+                if not final_flush:
+                    self._diag(type="silence_skip", mode="discovery",
+                               reason=f"residual={residual:.3f}")
+                    return messages
+                remainder = self._strip_residual_prefix(text)
+                if len(remainder.replace(" ", "")) < 5 or len(remainder.split()) < 2:
+                    self._diag(type="silence_skip", mode="discovery",
+                               reason=f"residual_flush={residual:.3f}")
+                    return messages
+                self._diag(type="residual_strip", mode="discovery",
+                           kept=remainder, dropped=len(text) - len(remainder))
+                text = remainder
 
         match = self.db.match_verse(
             text,
@@ -439,6 +479,26 @@ class RecitationTracker:
             else DISCOVERY_TOP_SINGLE_CANDIDATES
         )
         retrieved = self._retrieve_candidates(text, match, single_limit)
+        for c in retrieved:
+            c["score"] = prefix_blend_score(
+                text, c.get("text_clean", ""), float(c.get("score", 0.0))
+            )
+        # A prefix-rescored candidate that clearly beats the text match is
+        # better text evidence than the match itself (mid-verse the full
+        # matcher penalizes the true longer verse for its unheard tail).
+        best_text_cand = max(
+            retrieved, key=lambda c: float(c.get("score", 0.0)), default=None
+        )
+        if best_text_cand is not None:
+            best_cand_score = float(best_text_cand.get("score", 0.0))
+            if match is None or best_cand_score > float(match["score"]) + 0.02:
+                promoted = dict(best_text_cand)
+                if match is not None:
+                    promoted.setdefault("runners_up", match.get("runners_up", []))
+                match = promoted
+        text_confidence_low = (
+            match is None or match["score"] < cfg.verse_match_threshold + 0.10
+        )
         ranked = self._rank_candidates(retrieved, result)
 
         self._diag(
@@ -493,6 +553,23 @@ class RecitationTracker:
             else cfg.acoustic_clear_margin
         )
         repeated_leader = self.pending_leader[1] >= cfg.discovery_repeat_cycles
+        # Ambiguity gate on repeated-leader commits: if a different,
+        # non-overlapping verse scores within AMBIGUITY_GAP of the leader,
+        # the transcript is still a shared prefix — defer to acoustic
+        # clear-margin or the final flush (reference: web/server.py:914-945
+        # requires a >=0.05 gap before ambiguous commits).
+        # (a near-perfect leader is unambiguous even when another verse
+        # embeds the same text — e.g. the bismillah inside 27:30)
+        if repeated_leader and not final_flush and not is_continuation \
+                and score < 0.98:
+            rival = self._best_rival_text_score(effective, match, ranked)
+            if score - rival < AMBIGUITY_GAP:
+                repeated_leader = False
+                self._diag(
+                    type="advance_decision",
+                    action="deferred",
+                    reason=f"text near-tie leader={score:.3f} rival={rival:.3f}",
+                )
 
         messages.append(
             {
@@ -584,6 +661,41 @@ class RecitationTracker:
                 self._enter_tracking(verse)
                 self._retain_tail_after_commit()
         return messages
+
+    def _best_rival_text_score(
+        self, effective: dict, match: dict | None, ranked: list[dict]
+    ) -> float:
+        """Best text score among candidates naming a different,
+        non-overlapping verse than `effective` — the measure of how
+        ambiguous the current transcript still is."""
+        eff_s = effective["surah"]
+        eff_a = effective["ayah"]
+        eff_end = effective.get("ayah_end") or eff_a
+        pool = [r["candidate"] for r in ranked]
+        pool.extend((match or {}).get("runners_up") or [])
+        best = 0.0
+        for c in pool:
+            a = c["ayah"]
+            a_end = c.get("ayah_end") or a
+            if c["surah"] == eff_s and a <= eff_end and a_end >= eff_a:
+                continue  # same verse or overlapping span
+            best = max(best, float(c.get("score", 0.0)))
+        return best
+
+    def _strip_residual_prefix(self, text: str, min_score: float = 0.82) -> str:
+        """Drop the longest leading word-prefix of `text` that reads as a
+        fragment of the last emitted verse; return the new tail (reference:
+        web/server.py:528-559)."""
+        prev = self.last_emitted_text
+        words = text.split()
+        if not prev or not words:
+            return text
+        best_k = 0
+        for k in range(1, len(words) + 1):
+            prefix = " ".join(words[:k])
+            if partial_ratio(prefix, prev) >= min_score:
+                best_k = k
+        return " ".join(words[best_k:])
 
     def _short_utterance_rescue(self, result: TranscribeResult) -> list[dict]:
         """CTC rescue over short-verse candidates when the transcript is too

@@ -18,6 +18,7 @@ CHUNK = 4800  # 300 ms at 16 kHz
 async def stream_file(
     path: str, host: str = "127.0.0.1", port: int = 8765,
     tail_silence_s: float = 4.0, realtime: bool = False,
+    wait_s: float = 1.0,
 ) -> list[dict]:
     audio = load_audio(path)
     tail = np.zeros(int(tail_silence_s * 16000), dtype=np.float32)
@@ -45,7 +46,10 @@ async def stream_file(
             await asyncio.sleep(CHUNK / 16000)
         else:
             await asyncio.sleep(0.01)
-    await asyncio.sleep(1.0)
+    # Grace period before close: the server's first transcribe may still be
+    # compiling (remote-TPU first-window compiles take minutes) — closing
+    # early silently drops every message.
+    await asyncio.sleep(wait_s)
     await sock.close()
     await task
     return messages
@@ -57,8 +61,11 @@ def main():
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument("--realtime", action="store_true")
+    parser.add_argument("--wait", type=float, default=1.0,
+                        help="seconds to wait for trailing messages before close")
     args = parser.parse_args()
-    asyncio.run(stream_file(args.wav, args.host, args.port, realtime=args.realtime))
+    asyncio.run(stream_file(args.wav, args.host, args.port,
+                            realtime=args.realtime, wait_s=args.wait))
 
 
 if __name__ == "__main__":
