@@ -553,17 +553,22 @@ class RecitationTracker:
             else cfg.acoustic_clear_margin
         )
         repeated_leader = self.pending_leader[1] >= cfg.discovery_repeat_cycles
-        # Ambiguity gate on repeated-leader commits: if a different,
+        # Ambiguity gate on live non-continuation commits: if a different,
         # non-overlapping verse scores within AMBIGUITY_GAP of the leader,
-        # the transcript is still a shared prefix — defer to acoustic
-        # clear-margin or the final flush (reference: web/server.py:914-945
-        # requires a >=0.05 gap before ambiguous commits).
+        # the transcript is still a shared prefix — wait for more audio or
+        # the final flush (reference: web/server.py:914-945 requires a
+        # >=0.05 gap before ambiguous commits). Applies to both
+        # repeated-leader and acoustic clear-margin commits: mid-verse, a
+        # shared opening (e.g. "إلا الذين آمنوا وعملوا الصالحات" for 84:25
+        # vs 103:3) can give the wrong shorter verse a clear acoustic
+        # margin before the true verse is even retrievable.
         # (a near-perfect leader is unambiguous even when another verse
         # embeds the same text — e.g. the bismillah inside 27:30)
-        if repeated_leader and not final_flush and not is_continuation \
-                and score < 0.98:
+        text_ambiguous = False
+        if not final_flush and not is_continuation and score < 0.98:
             rival = self._best_rival_text_score(effective, match, ranked)
             if score - rival < AMBIGUITY_GAP:
+                text_ambiguous = True
                 repeated_leader = False
                 self._diag(
                     type="advance_decision",
@@ -614,7 +619,7 @@ class RecitationTracker:
         final_flush_commit = final_flush and score >= threshold
 
         # Decode-stability gate on single-cycle clearMargin commits.
-        clear_margin_allowed = clear_margin
+        clear_margin_allowed = clear_margin and not text_ambiguous
         if (
             cfg.decode_stability_enabled
             and clear_margin
