@@ -3,6 +3,10 @@
 import numpy as np
 
 from tilawa_tpu.train.align import viterbi_align
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 
 def _logprobs_from_path(path, vocab, peak=0.0, floor=-20.0):

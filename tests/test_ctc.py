@@ -8,12 +8,15 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from tilawa_tpu.ops.ctc import (  # noqa: E402
+
     collapse_ctc,
     ctc_forward_scores,
     ctc_forward_scores_batch,
     pad_candidates,
     pad_frames,
 )
+
+pytestmark = pytest.mark.slow
 
 BLANK = 8
 VOCAB = 9

@@ -10,6 +10,9 @@ from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCT
 from tilawa_tpu.train.checkpoint import save_variables
 from tilawa_tpu.train.export import export_bundle, verify_bundle
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def small_checkpoint(tmp_path_factory):

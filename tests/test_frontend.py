@@ -7,6 +7,7 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from tilawa_tpu.ops.frontend import (  # noqa: E402
+
     HOP_LENGTH,
     N_FFT,
     WIN_LENGTH,
@@ -15,6 +16,8 @@ from tilawa_tpu.ops.frontend import (  # noqa: E402
     mel_filterbank,
     num_frames,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def numpy_logmel(audio: np.ndarray) -> np.ndarray:

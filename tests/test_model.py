@@ -7,11 +7,14 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from tilawa_tpu.models.fastconformer import (  # noqa: E402
+
     FastConformerCTC,
     FastConformerConfig,
     count_params,
     subsampled_length,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

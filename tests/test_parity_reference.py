@@ -13,9 +13,10 @@ import pytest
 
 REF = Path("/root/reference")
 
-pytestmark = pytest.mark.skipif(
-    not REF.exists(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not REF.exists(), reason="reference tree not mounted"),
+    pytest.mark.slow,
+]
 
 
 @pytest.fixture(scope="module")

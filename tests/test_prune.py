@@ -8,6 +8,9 @@ import pytest
 from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCTC
 from tilawa_tpu.train.prune import layer_indices, prune_layers
 
+pytestmark = pytest.mark.slow
+
+
 
 class TestLayerIndices:
     def test_first_n(self):

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 from tilawa_tpu.ops.quant import (
+
     INT4_BLOCK,
     dequantize_int8,
     int4_matmul,
@@ -20,6 +21,8 @@ from tilawa_tpu.ops.quant import (
     quantize_int8,
     unpack_int4,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _rand_w(k, n, seed=0, scale=0.05):

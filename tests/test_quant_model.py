@@ -20,10 +20,13 @@ from tilawa_tpu.models.fastconformer import (
     Int4Dense,
 )
 from tilawa_tpu.train.quantize import (
+
     packed_size_bytes,
     quantize_variables,
     quantized_config,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from tilawa_tpu.ops.specaug import spec_augment
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 
 def test_masks_zero_some_features_within_valid_region():

@@ -9,11 +9,14 @@ import numpy as np
 import pytest
 
 from tilawa_tpu.train.data import (
+
     BUCKETS,
     bucketed_corpus_batches,
     load_corpus_examples,
     pad_batch,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_pad_batch_shapes_and_lengths():

@@ -12,6 +12,9 @@ import pytest
 from tilawa_tpu.models.fastconformer import FastConformerConfig
 from tilawa_tpu.train.train import init_state, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.fixture(scope="module")
 def tiny():

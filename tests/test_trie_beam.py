@@ -13,6 +13,9 @@ from tilawa_tpu.ops.beam import beam_search_decode
 from tilawa_tpu.pipeline.phoneme import PhonemeOracleRuntime
 from tilawa_tpu.text.trie import TokenTrie, build_verse_trie
 
+pytestmark = pytest.mark.slow
+
+
 
 class TestTokenTrie:
     def test_tiny_trie(self):

@@ -99,12 +99,20 @@ def run_experiment(
     totals = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
     latencies: list[float] = []
     per_sample: list[dict] = []
+    # Every manifest sample gets an explicit disposition so "N of M scored"
+    # is auditable (reference scores all 53 v1 samples, runner.py:97-101;
+    # here 9 v1 audio files are absent from the snapshot mount and must be
+    # itemized, not silently dropped).
+    dispositions: list[dict] = []
     skipped = 0
 
     for sample in samples:
         path = corpus_dir / sample["file"]
         if not path.exists():
             skipped += 1
+            dispositions.append(
+                {"id": sample["id"], "status": "file_absent", "file": sample["file"]}
+            )
             continue
         expected = sample.get(
             "expected_verses", [{"surah": sample["surah"], "ayah": sample["ayah"]}]
@@ -122,12 +130,23 @@ def run_experiment(
                     str(path), pipeline.transcribe
                 )
             elapsed = time.perf_counter() - start
-        except UnsupportedAudioFormat:
+        except UnsupportedAudioFormat as e:
             skipped += 1
+            dispositions.append(
+                {
+                    "id": sample["id"],
+                    "status": "undecodable",
+                    "file": sample["file"],
+                    "why": str(e),
+                }
+            )
             continue
         except Exception as e:  # noqa: BLE001
             print(f"  error on {sample['id']}: {e}")
             emissions, elapsed = [], 0.0
+            dispositions.append(
+                {"id": sample["id"], "status": "error", "why": str(e)}
+            )
 
         scores = score_sequence(expected, emissions)
         for k in totals:
@@ -151,7 +170,9 @@ def run_experiment(
         "precision": totals["precision"] / n if n else 0.0,
         "sequence_accuracy": totals["sequence_accuracy"] / n if n else 0.0,
         "total": n,
+        "total_manifest": len(samples),
         "skipped": skipped,
+        "dispositions": dispositions,
         "avg_latency": sum(latencies) / n if n else 0.0,
         "p50_latency": _percentile(latencies, 0.5),
         "p90_latency": _percentile(latencies, 0.9),
@@ -192,8 +213,10 @@ def save_results(
             k: r[k]
             for k in (
                 "name", "recall", "precision", "sequence_accuracy", "total",
-                "avg_latency", "p50_latency", "p90_latency", "model_size",
+                "total_manifest", "avg_latency", "p50_latency", "p90_latency",
+                "model_size",
             )
+            if k in r
         }
         summary.update(
             timestamp=timestamp,

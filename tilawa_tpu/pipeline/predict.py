@@ -223,6 +223,17 @@ class Recognizer:
     def predict(self, audio_path: str | Path) -> dict:
         return self.predict_audio(load_audio(audio_path))
 
+    def model_size(self) -> int:
+        """Packed on-device weight bytes (the reference reports its ONNX
+        file size, 88,307,366 B — export_metadata.json; runner records it
+        per results row, benchmark/runner.py model_size)."""
+        try:
+            from tilawa_tpu.train.quantize import packed_size_bytes
+
+            return packed_size_bytes(self.runtime.variables)
+        except Exception:  # noqa: BLE001 — oracle runtimes have no variables
+            return 0
+
     # ---------------------------------------------------------- transcribe
 
     LONG_CHUNK_S = 25.0
