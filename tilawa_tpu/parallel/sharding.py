@@ -74,6 +74,24 @@ def shard_variables(variables, mesh: Mesh):
     )
 
 
+def opt_state_shardings(tx, opt_state, params, mesh: Mesh):
+    """Optimizer-state shardings mirroring the param layout: AdamW moments
+    (mu/nu) get each parameter's own PartitionSpec, every non-param leaf
+    (step counts, empty states) is replicated. Uses optax.tree_map_params
+    so the mapping follows the optimizer's own notion of which state parts
+    are param-shaped."""
+    import optax
+
+    pshard = variables_shardings({"params": params}, mesh)["params"]
+    return optax.tree_map_params(
+        tx,
+        lambda _leaf, s: s,
+        opt_state,
+        pshard,
+        transform_non_params=lambda _leaf: NamedSharding(mesh, P()),
+    )
+
+
 def batch_shardings(mesh: Mesh, *specs):
     return tuple(NamedSharding(mesh, s) for s in specs)
 
