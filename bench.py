@@ -73,7 +73,18 @@ def main() -> None:
     from tilawa_tpu.pipeline.runtime import EncoderRuntime, bucket_length
     from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
 
-    _log(f"budget {BUDGET_S:.0f}s; loading checkpoint")
+    # Pay the per-process device-acquisition cost up front and report it
+    # separately: on the tunneled backend the FIRST device op of a process
+    # blocks 80-450 s (measured; varies with server load) regardless of
+    # program size — it is queue/session time, not compile time, and must
+    # not be conflated with warm-up or per-clip latency.
+    import jax.numpy as jnp
+
+    _log(f"budget {BUDGET_S:.0f}s; acquiring device")
+    t = time.monotonic()
+    float(jnp.ones(8).sum())
+    OUT["device_init_s"] = round(time.monotonic() - t, 1)
+    _log(f"device ready in {OUT['device_init_s']}s; loading checkpoint")
     ckpt = shipped_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)

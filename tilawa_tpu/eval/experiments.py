@@ -308,6 +308,93 @@ class PrunedCTCExperiment:
         return packed_size_bytes(self._recognizer().runtime.variables)
 
 
+class TwoStageExperiment:
+    """Two-stage ASR → CTC-rescore pipeline (reference: experiments/two-stage/
+    run.py and two-stage-faster-whisper-pruned/run.py — a cheap generic ASR
+    produces the transcript that drives candidate retrieval, then a separate
+    CTC model rescores the candidates acoustically).
+
+    Framework expression: stage 1 transcribes with a depth-pruned 6-layer
+    encoder (a genuinely different, cheaper model standing in for the
+    reference's Moonshine/faster-whisper), stage 2 builds candidates from
+    that transcript and CTC-reranks them against the FULL champion's
+    log-probs with the gate disabled (rerank_mode='always' — stage-1 text
+    confidence must not bypass the rescue, mirroring the reference's
+    always-rescore contract).
+    """
+
+    def __init__(self, stage1_layers: int = 12):
+        self.stage1_layers = stage1_layers
+        self._stage1 = None
+        self._stage2 = None
+
+    def _build(self):
+        if self._stage2 is not None:
+            return
+        from tilawa_tpu.pipeline.predict import Recognizer
+        from tilawa_tpu.pipeline.runtime import EncoderRuntime
+        from tilawa_tpu.train.checkpoint import EXPORTS_DIR, load_variables, shipped_checkpoint
+        from tilawa_tpu.train.prune import prune_layers
+
+        # Stage-1 model resolution: a fine-tuned pruned checkpoint when one
+        # exists (pruning without fine-tune produces garbage transcripts —
+        # the reference fine-tuned its pruned variants too,
+        # build_rabah_pruned_models.py), else prune-on-the-fly as a
+        # structural fallback.
+        ft = os.getenv(
+            "TILAWA_STAGE1_CHECKPOINT",
+            str(EXPORTS_DIR / f"pruned-L{self.stage1_layers}"),
+        )
+        if Path(ft).exists():
+            p_config, p_variables = load_variables(ft)
+            self._stage1 = Recognizer(EncoderRuntime(p_config, p_variables))
+        else:
+            ckpt = shipped_checkpoint()
+            if ckpt:
+                config, variables = load_variables(ckpt)
+                p_config, p_variables = prune_layers(
+                    config, variables, self.stage1_layers, "evenly_spaced"
+                )
+                self._stage1 = Recognizer(EncoderRuntime(p_config, p_variables))
+            else:
+                from tilawa_tpu.models.fastconformer import FastConformerConfig
+
+                self._stage1 = Recognizer(
+                    EncoderRuntime(
+                        FastConformerConfig.large(num_layers=self.stage1_layers)
+                    )
+                )
+        self._stage2 = _make_recognizer(tta=False, rerank_mode="always")
+
+    def predict(self, path: str) -> dict:
+        from tilawa_tpu.data.audio import load_audio
+
+        self._build()
+        audio = load_audio(path)
+        transcript = self._stage1.transcribe_audio(audio)
+        lp, _ids, t_valid = self._stage2.runtime.forward(audio)
+        result = self._stage2._predict_from_logprobs(lp, t_valid, transcript)
+        result["stage1_transcript"] = transcript
+        return result
+
+    def transcribe(self, path: str) -> str:
+        self._build()
+        return self._stage1.transcribe(path)
+
+    def model_size(self) -> int:
+        from tilawa_tpu.train.quantize import packed_size_bytes
+
+        self._build()
+        return packed_size_bytes(self._stage1.runtime.variables) + packed_size_bytes(
+            self._stage2.runtime.variables
+        )
+
+
+@register("two-stage")
+def _two_stage():
+    return TwoStageExperiment()
+
+
 @register("pruned-ctc")
 def _pruned_ctc():
     return PrunedCTCExperiment()
