@@ -319,3 +319,81 @@ class TestTracking:
         assert not tr.in_tracking
         assert tr.last_emitted_ref is None
         assert len(tr.utterance_audio) == 0
+
+
+class TestRollbackAndSpanRemainder:
+    """Round-2 policy fixes: misidentification rollback evidence rules and
+    span-remainder commits (measured failures in eval/tracker_oracle)."""
+
+    def _commit(self, db, token_store, surah, ayah, texts, config=None):
+        verse = db.get_verse(surah, ayah)
+        tr = _tracker(
+            db, token_store, [verse["text_clean"]] * 2 + texts, config=config
+        )
+        tr.feed(speech(2.1))
+        tr.feed(speech(2.1))
+        assert tr.last_emitted_ref == (surah, ayah)
+        return tr, verse
+
+    def test_commit_survives_near_empty_stale_cycles(self, db, token_store):
+        # Post-commit windows routinely decode 1-2 chars (retained tail cuts
+        # the current word). Those stale cycles are NOT misidentification
+        # evidence: the commit must survive the stale exit (measured: 110:3
+        # and 23:115 retracted on text_length=1 streaks, their own tails
+        # then matched phantom verses).
+        tr, _ = self._commit(db, token_store, 110, 3, ["ع"] * 10)
+        rollbacks = []
+        for _ in range(6):
+            rollbacks += [
+                m for m in tr.feed(speech(0.6)) if m["type"] == "verse_rollback"
+            ]
+        assert not rollbacks
+        assert tr.last_emitted_ref == (110, 3)
+
+    def test_forced_rollback_on_substantive_mismatch(self, db, token_store):
+        # >=2 stale cycles of real (>=3-word) speech matching nothing in the
+        # committed verse IS misidentification evidence — retract even a
+        # confident commit and tell the client (reference:
+        # web/server.py:625-675 misidentification revert).
+        tr, _ = self._commit(
+            db, token_store, 110, 3, ["كلمات اخرى تماما مختلفه"] * 10
+        )
+        rollbacks = []
+        for _ in range(6):
+            rollbacks += [
+                m for m in tr.feed(speech(0.6)) if m["type"] == "verse_rollback"
+            ]
+        assert rollbacks and (rollbacks[0]["surah"], rollbacks[0]["ayah"]) == (110, 3)
+        assert tr.last_emitted_ref is None
+
+    def test_span_remainder_emitted_after_start_overlap(self, db, token_store):
+        # A discovery leader span 114:5-6 arriving after 114:5 was already
+        # emitted must commit the remainder 114:6, not be swallowed by the
+        # same-ref dedup (measured: multi_114 lost its final verse).
+        v5 = db.get_verse(114, 5)["text_clean"]
+        v6 = db.get_verse(114, 6)["text_clean"]
+        tail_plus_next = " ".join(v5.split()[1:]) + " " + v6
+        tr, _ = self._commit(db, token_store, 114, 5, [tail_plus_next] * 12)
+        got = []
+        for _ in range(8):
+            got += [m for m in tr.feed(speech(0.6)) if m["type"] == "verse_match"]
+        got += [m for m in tr.feed(silence(1.5)) if m["type"] == "verse_match"]
+        assert any((m["surah"], m["ayah"]) == (114, 6) for m in got)
+
+    def test_rival_pool_includes_text_match(self, db, token_store):
+        # Fusion can promote a different verse than the text match; the
+        # match itself must then count as a rival in the ambiguity gate
+        # (measured: 96:6 committed on "والعصر ان الانسن" while the text
+        # match was the true 103:1-2 span).
+        tr = _tracker(db, token_store, ["x"])
+        effective = {"surah": 96, "ayah": 6}
+        match = dict(db.get_verse(103, 1) or {})
+        match.update(
+            surah=103, ayah=1, ayah_end=2, score=0.8,
+            text_clean=db.span_text(103, 1, 2),
+        )
+        text = "والعصر ان الانسن"
+        assert tr._best_rival_text_score(effective, match, []) >= 0.8
+        assert (
+            tr._best_rival_prefix_consistency(effective, match, [], text) >= 0.95
+        )

@@ -427,10 +427,19 @@ class QuranDB:
             for v, raw, bon, total in scored[: max(return_top_k, 5)]
         ]
 
-        # Pass 2: spans inside the top-20 candidate surahs (batched per surah).
+        # Pass 2: spans inside the top-20 candidate surahs (batched per
+        # surah), plus the surahs of the top trigram candidates. The edit
+        # ratio under-ranks a short opening verse when the query runs past
+        # it into the next verse (measured: "والعصر ان الانسن" puts 103:1
+        # at rank 897 by fragment score while the trigram index puts it
+        # first — only the 103:1-2 SPAN matches well, and it is reachable
+        # only if surah 103 enters this pass).
+        span_surahs: list[int] = [v["surah"] for v, _r, _b, _t in scored[:20]]
+        span_surahs.extend(
+            self.verses[i]["surah"] for i in self.trigram_candidates(text, top_k=20)
+        )
         seen_surahs: set[int] = set()
-        for v, _raw, _bon, _total in scored[:20]:
-            s = v["surah"]
+        for s in span_surahs:
             if s in seen_surahs:
                 continue
             seen_surahs.add(s)

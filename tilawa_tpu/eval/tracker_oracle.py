@@ -130,19 +130,26 @@ def make_factory(
     seed: int = 0,
 ):
     alignments = load_alignments(corpus)
-    renderer = OracleRuntime(
-        lambda *a: [], blank_id=BLANK_ID, vocab_size=VOCAB_TOKENS,
-        noise=noise, error_rate=error_rate, seed=seed,
-    )
-    rng = np.random.default_rng(seed)
 
     def factory(sample: dict, audio: np.ndarray):
         align = alignments.get(sample["id"])
         if align is None:
             return None  # skip samples without a forced alignment
+        # Per-sample seeding: one shared RNG would couple every sample's
+        # noise to how many transcribe calls earlier samples made, so any
+        # policy change scrambles all downstream samples and per-sample
+        # regressions can't be attributed.
+        import zlib
+
+        sample_seed = (zlib.crc32(sample["id"].encode()) ^ seed) & 0x7FFFFFFF
+        renderer = OracleRuntime(
+            lambda *a: [], blank_id=BLANK_ID, vocab_size=VOCAB_TOKENS,
+            noise=noise, error_rate=error_rate, seed=sample_seed,
+        )
         return OracleWindowTranscriber(
             align["token_ids"], align["starts"], align["ends"],
-            tokenizer, renderer, cut_mode=cut_mode, rng=rng,
+            tokenizer, renderer, cut_mode=cut_mode,
+            rng=np.random.default_rng(sample_seed),
         )
 
     return factory

@@ -69,10 +69,18 @@ def replay_sample(
 
 def emissions_from_messages(messages: list[dict]) -> list[dict]:
     """verse_match stream → ordered (surah, ayah) emissions, spans
-    expanded, dedup-preserving-order (matches ws_bench scoring)."""
+    expanded, dedup-preserving-order (matches ws_bench scoring).
+    verse_rollback retracts the matching verse_match's refs (the tracker's
+    misidentification revert; reference: web/server.py:625-675)."""
     out: list[dict] = []
     seen: set[tuple[int, int]] = set()
     for m in messages:
+        if m.get("type") == "verse_rollback":
+            end = m.get("ayah_end") or m["ayah"]
+            refs = {(m["surah"], a) for a in range(m["ayah"], end + 1)}
+            out = [e for e in out if (e["surah"], e["ayah"]) not in refs]
+            seen -= refs
+            continue
         if m.get("type") != "verse_match":
             continue
         end = m.get("ayah_end") or m["ayah"]

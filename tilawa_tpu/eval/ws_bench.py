@@ -63,7 +63,11 @@ async def run_sample(
 def emissions_from_messages(messages: list[dict]) -> list[tuple[int, int]]:
     out: list[tuple[int, int]] = []
     for m in messages:
-        if m.get("type") == "verse_match":
+        if m.get("type") == "verse_rollback":
+            end = m.get("ayah_end") or m["ayah"]
+            refs = {(m["surah"], a) for a in range(m["ayah"], end + 1)}
+            out = [r for r in out if r not in refs]
+        elif m.get("type") == "verse_match":
             end = m.get("ayah_end") or m["ayah"]
             for a in range(m["ayah"], end + 1):
                 ref = (m["surah"], a)

@@ -38,7 +38,7 @@ from typing import Callable
 
 import numpy as np
 
-from tilawa_tpu.data.quran import QuranDB
+from tilawa_tpu.data.quran import BISMILLAH_CLEAN, QuranDB
 from tilawa_tpu.data.token_store import TokenStore
 from tilawa_tpu.streaming.config import (
     DEFAULT_STREAMING_CONFIG,
@@ -68,6 +68,14 @@ SHORT_VERSE_MAX_TOKENS = 15
 # (reference: web/server.py:914-945 requires gap >= 0.05 for ambiguous
 # strong-continuation commits; mid-verse ties are the same situation).
 AMBIGUITY_GAP = 0.04
+
+
+def _strip_bismillah(text: str) -> str:
+    """Drop a leading bismillah; it opens every surah's with-bismillah
+    variant and carries no verse-identity information."""
+    if text.startswith(BISMILLAH_CLEAN):
+        return text[len(BISMILLAH_CLEAN) :].strip()
+    return text
 
 
 def prefix_blend_score(text: str, cand_text: str, base: float) -> float:
@@ -327,6 +335,7 @@ class RecitationTracker:
 
         self.last_emitted_ref: tuple[int, int] | None = None
         self.last_emitted_text = ""
+        self.last_emitted_msg: dict | None = None
         self.prev_emitted_ref: tuple[int, int] | None = None
         self.prev_emitted_text = ""
         self.last_commit_evidence: _CommitEvidence | None = None
@@ -336,6 +345,8 @@ class RecitationTracker:
         self.tracking_verse_words: list[str] = []
         self.tracking_last_word_idx = -1
         self.tracking_progress_established = False
+        self.tracking_primary_matches = 0
+        self.stale_speech_cycles = 0
         self.stale_cycles = 0
         self.last_tracking_result: TranscribeResult | None = None
 
@@ -479,10 +490,17 @@ class RecitationTracker:
             else DISCOVERY_TOP_SINGLE_CANDIDATES
         )
         retrieved = self._retrieve_candidates(text, match, single_limit)
-        for c in retrieved:
-            c["score"] = prefix_blend_score(
-                text, c.get("text_clean", ""), float(c.get("score", 0.0))
-            )
+        # Prefix-blend rescoring is a LIVE mid-verse heuristic ("we may
+        # only have heard the head of the true verse so far"). At final
+        # flush no more audio is coming, so the head-of-a-longer-verse
+        # reading is dead and full-ratio must decide — otherwise the long
+        # prefix-twin wins over the actually-recited short verse (3:2's
+        # complete text scored 0.98 as a "prefix of 2:255" at flush).
+        if not final_flush:
+            for c in retrieved:
+                c["score"] = prefix_blend_score(
+                    text, c.get("text_clean", ""), float(c.get("score", 0.0))
+                )
         # A prefix-rescored candidate that clearly beats the text match is
         # better text evidence than the match itself (mid-verse the full
         # matcher penalizes the true longer verse for its unheard tail).
@@ -565,8 +583,26 @@ class RecitationTracker:
         # (a near-perfect leader is unambiguous even when another verse
         # embeds the same text — e.g. the bismillah inside 27:30)
         text_ambiguous = False
-        if not final_flush and not is_continuation and score < 0.98:
+        # A pure-bismillah window is exempt: it IS 1:1 and simultaneously
+        # the head of every surah's with-bismillah variant, so every rival
+        # measure saturates at 1.0 and the gate would defer forever.
+        if not final_flush and not is_continuation and _strip_bismillah(text):
             rival = self._best_rival_text_score(effective, match, ranked)
+            # Prefix-consistency rival check, and no high-score exemption:
+            # a perfect leader is STILL ambiguous when the window text also
+            # reads as the head of a longer rival (2:255 opens with exactly
+            # 3:2's full text; "ما اغني عن" is both most of 69:28 and the
+            # head of 111:2) or as the WHOLE of a shorter one (the same
+            # twin from the other side). More audio settles it: either the
+            # text grows past the short twin (prefix-blend flips the
+            # leader) or the flush full-ratio match picks the short one.
+            # Embedded-not-prefix rivals (the bismillah inside 27:30) score
+            # low on both measures, which is what the old >=0.98 exemption
+            # was protecting.
+            rival_prefix = self._best_rival_prefix_consistency(
+                effective, match, ranked, text
+            )
+            rival = max(rival, rival_prefix)
             if score - rival < AMBIGUITY_GAP:
                 text_ambiguous = True
                 repeated_leader = False
@@ -634,11 +670,41 @@ class RecitationTracker:
         if not blocked and (clear_margin_allowed or repeated_leader or final_flush_commit):
             ref = (effective["surah"], effective["ayah"])
             if self.last_emitted_ref == ref:
-                return messages
+                # A span that STARTS at the already-emitted verse still
+                # carries news if it extends past it — emit the unemitted
+                # remainder instead of swallowing the whole commit
+                # (measured: flush leader 114:5-6 right after committing
+                # 114:5 dropped the final verse 114:6).
+                a_end = effective.get("ayah_end") or ref[1]
+                emitted_end = ref[1]
+                if self.last_emitted_msg and self.last_emitted_msg.get(
+                    "surah"
+                ) == ref[0]:
+                    emitted_end = (
+                        self.last_emitted_msg.get("ayah_end")
+                        or self.last_emitted_msg["ayah"]
+                    )
+                if a_end <= emitted_end:
+                    return messages
+                rest_start = emitted_end + 1
+                rest = dict(effective)
+                rest["ayah"] = rest_start
+                rest["ayah_end"] = a_end if a_end > rest_start else None
+                rest["text_clean"] = (
+                    self.db.span_text(ref[0], rest_start, a_end)
+                    or (self.db.get_verse(ref[0], rest_start) or {}).get(
+                        "text_clean", ""
+                    )
+                )
+                effective = rest
+                ref = (ref[0], rest_start)
+                key = ref_key(ref[0], rest_start, rest.get("ayah_end"))
             confidence = max(
                 score, min(0.99, 0.45 + acoustic_margin + length_fit * 0.2)
             )
-            messages.append(self._verse_match_message(effective, confidence))
+            emit_msg = self._verse_match_message(effective, confidence)
+            messages.append(emit_msg)
+            self.last_emitted_msg = emit_msg
             self._diag(
                 type="commit",
                 ref=key,
@@ -652,8 +718,21 @@ class RecitationTracker:
             self.prev_emitted_ref = self.last_emitted_ref
             self.prev_emitted_text = self.last_emitted_text
             self.last_emitted_ref = ref
+            # Span commits must remember the FULL span text: the residual
+            # check compares later windows against last_emitted_text, and a
+            # tail fragment of the span's second verse reads as novel
+            # content if only the first verse's text is kept (measured:
+            # after committing 103:2-3, the flush window "الصلحت وتواص" —
+            # mid-103:3 — matched phantom 92:16).
+            a_end = effective.get("ayah_end") or ref[1]
+            span_text = (
+                self.db.span_text(ref[0], ref[1], a_end)
+                if a_end != ref[1] else None
+            )
             verse = self.db.get_verse(*ref)
-            self.last_emitted_text = (verse or {}).get("text_clean", text)
+            self.last_emitted_text = span_text or (verse or {}).get(
+                "text_clean", text
+            )
             self.last_commit_evidence = _CommitEvidence(
                 confidence=confidence,
                 acoustic_margin=acoustic_margin,
@@ -678,6 +757,12 @@ class RecitationTracker:
         eff_end = effective.get("ayah_end") or eff_a
         pool = [r["candidate"] for r in ranked]
         pool.extend((match or {}).get("runners_up") or [])
+        # The text match ITSELF is a rival when acoustic fusion promoted a
+        # different verse to leader — and often the strongest one (measured:
+        # fusion committed 96:6 on "والعصر ان الانس" while the text match
+        # was the true 103:1-2 span, absent from ranked/runners-up).
+        if match:
+            pool.append(match)
         best = 0.0
         for c in pool:
             a = c["ayah"]
@@ -685,6 +770,68 @@ class RecitationTracker:
             if c["surah"] == eff_s and a <= eff_end and a_end >= eff_a:
                 continue  # same verse or overlapping span
             best = max(best, float(c.get("score", 0.0)))
+        return best
+
+    def _stale_text_is_continuation(self, text: str, verse: dict) -> bool:
+        """Does the stale-cycle transcript read as the opening of the verse
+        AFTER the committed one? Then the commit was right and only the
+        advance failed — retracting it would break normal multi-verse flow
+        (measured: 114:5 correctly committed, 114:6's words produced 4
+        stale cycles)."""
+        if not text or len(text) < 3:
+            return False
+        nxt = self.db.get_next_verse(verse["surah"], verse["ayah"])
+        if not nxt:
+            return False
+        nxt_text = nxt.get("text_clean") or ""
+        if not nxt_text:
+            return False
+        n = min(len(text), len(nxt_text))
+        return ratio(text, nxt_text[:n]) >= 0.5 or partial_ratio(text, nxt_text) >= 0.6
+
+    def _best_rival_prefix_consistency(
+        self, effective: dict, match: dict | None, ranked: list[dict], text: str
+    ) -> float:
+        """How well the window text reads as the HEAD of a different,
+        longer verse: max over non-overlapping rivals of
+        ratio(text, rival_text[:len(text)]). High values mean the leader
+        cannot be committed live — the recitation may be mid-way through
+        the rival (prefix-twin class: 3:2 is the exact opening of 2:255).
+
+        Comparison is on bismillah-stripped texts: the bismillah opens
+        every surah's with-bismillah variant, so 1:1 would otherwise read
+        as the head of all 113 of them. It is a shared invocation, not
+        distinguishing content (reference: quran_db.py:49-59 strips it for
+        the same reason)."""
+        text_s = _strip_bismillah(text)
+        if not text_s:
+            return 0.0
+        eff_s = effective["surah"]
+        eff_a = effective["ayah"]
+        eff_end = effective.get("ayah_end") or eff_a
+        pool = [r["candidate"] for r in ranked]
+        pool.extend((match or {}).get("runners_up") or [])
+        if match:
+            pool.append(match)  # same rationale as _best_rival_text_score
+        n = len(text_s)
+        best = 0.0
+        seen: set[tuple[int, int, int]] = set()
+        for c in pool:
+            a = c["ayah"]
+            a_end = c.get("ayah_end") or a
+            if c["surah"] == eff_s and a <= eff_end and a_end >= eff_a:
+                continue  # same verse or overlapping span
+            key = (c["surah"], a, a_end)
+            if key in seen:
+                continue
+            seen.add(key)
+            cand_text = c.get("text_clean") or self.db.span_text(
+                c["surah"], a, a_end
+            )
+            cand_text = _strip_bismillah(cand_text or "")
+            if not cand_text or len(cand_text) <= n:
+                continue  # no continuation left to wait for
+            best = max(best, ratio(text_s, cand_text[:n]))
         return best
 
     def _strip_residual_prefix(self, text: str, min_score: float = 0.82) -> str:
@@ -739,6 +886,7 @@ class RecitationTracker:
         msg = self._verse_match_message(verse, confidence)
         self.prev_emitted_ref = self.last_emitted_ref
         self.prev_emitted_text = self.last_emitted_text
+        self.last_emitted_msg = msg
         self.last_emitted_ref = ref
         self.last_emitted_text = verse["text_clean"]
         self.last_commit_evidence = _CommitEvidence(
@@ -951,6 +1099,29 @@ class RecitationTracker:
         elif not match and fusion_best:
             effective, score = as_match(fusion_best)
 
+        # Flush-time feasibility override: at final flush the audio is all
+        # there is, so a text match whose token sequence cannot CTC-align
+        # inside the observed frames (2L+1 > T, the reference's feasibility
+        # contract — lib/ctc-rescore.ts:31-33) is physically ruled out.
+        # Prefix-twin ties land here: the fragment matcher ties 2:255 with
+        # 3:2 on their shared opening, but only 3:2 fits the frames.
+        if (
+            final_flush
+            and effective is not None
+            and fusion_best is not None
+            and fusion_best["feasible"]
+            and result.has_acoustic
+        ):
+            fb = fusion_best["candidate"]
+            if ref_key(effective["surah"], effective["ayah"], effective.get("ayah_end")) != ref_key(
+                fb["surah"], fb["ayah"], fb.get("ayah_end")
+            ) and fusion_best["fusion_score"] >= 0.6:
+                eff_ids = self.token_store.ids_for_candidate(effective)
+                if eff_ids and 2 * len(eff_ids) + 1 > result.t_valid:
+                    effective, score = as_match(fusion_best)
+                    acoustic_margin = fusion_best["acoustic_margin"]
+                    length_fit = fusion_best["length_fit"]
+
         # Live span-to-next rebase: a broad span covering the expected next
         # ayah yields to a clearly-better nearby forward continuation.
         if effective and fusion_best and self.last_emitted_ref and not final_flush:
@@ -1014,7 +1185,9 @@ class RecitationTracker:
             cfg.tracking_trigger_sec
         ):
             if self.silence_samples >= cfg.samples(cfg.tracking_silence_timeout_sec):
-                self._rollback_weak_commit("tracking silence timeout")
+                rb = self._rollback_weak_commit("tracking silence timeout")
+                if rb:
+                    messages.append(rb)
                 self._exit_tracking("extended silence")
             return messages
         self.new_audio_count = 0
@@ -1031,6 +1204,7 @@ class RecitationTracker:
             recognized, self.tracking_verse_words, resume_from, cfg.lookahead_words
         )
         primary_matched = list(matched)
+        self.tracking_primary_matches += len(primary_matched)
         confirmed_pending = False
 
         # Fresh-audio confirmation of a deferred next-verse emission.
@@ -1084,6 +1258,15 @@ class RecitationTracker:
 
         if not advanced:
             self.stale_cycles += 1
+            # A stale cycle only counts as misidentification EVIDENCE when
+            # it carried substantive speech that matched nothing. Post-commit
+            # windows routinely decode 1-2 chars (the retained tail cuts
+            # through the current word), and 4 such cycles pass in ~1-2 s —
+            # forcing a rollback on them retracted CORRECT commits
+            # (measured: 110:3 and 23:115 both retracted on streaks of
+            # text_length=1 decodes, then their own tails matched phantoms).
+            if len(recognized) >= 3 and not primary_matched:
+                self.stale_speech_cycles += 1
             if self.stale_cycles >= cfg.stale_cycle_limit or final_flush:
                 self._diag(type="stale_exit",
                            ref=ref_key(verse["surah"], verse["ayah"]),
@@ -1105,16 +1288,40 @@ class RecitationTracker:
                     self._clear_pending_emission()
                     self._exit_tracking("final silence flush (pending emitted)")
                 else:
-                    self._rollback_weak_commit(
-                        "final silence flush" if final_flush else "stale tracking"
+                    # Real stale cycles = transcribed speech matched nothing
+                    # in the committed verse for stale_cycle_limit cycles.
+                    # That is misidentification evidence strong enough to
+                    # retract even a confident commit — UNLESS the stale
+                    # speech reads as the NEXT verse, which is the normal
+                    # multi-verse flow with a failed advance (the reciter
+                    # moved on; discovery will re-acquire). A silence flush
+                    # alone never forces (the reciter may just have
+                    # stopped).
+                    force = (
+                        self.stale_cycles >= cfg.stale_cycle_limit
+                        and self.tracking_primary_matches == 0
+                        and self.stale_speech_cycles >= 2
+                        and not self._stale_text_is_continuation(text, verse)
                     )
+                    rb = self._rollback_weak_commit(
+                        "final silence flush" if final_flush else "stale tracking",
+                        force=force,
+                    )
+                    if rb:
+                        messages.append(rb)
                     self._exit_tracking(
                         "final silence flush" if final_flush else "stale tracking"
                     )
             return messages
 
         self.stale_cycles = 0
-        self.tracking_progress_established = True
+        # Only real lexical alignment protects the commit from the
+        # misidentification rollback: the acoustic/char fallbacks fire on
+        # near-empty windows (measured: adv=True on 1-char decodes right
+        # after a phantom commit) and must keep driving word_progress
+        # without vouching for the verse identity.
+        if primary_matched:
+            self.tracking_progress_established = True
         self.tracking_last_word_idx = matched[-1]
         word_pos = self.tracking_last_word_idx + 1
         total_words = len(self.tracking_verse_words)
@@ -1271,6 +1478,7 @@ class RecitationTracker:
         self.prev_emitted_text = self.last_emitted_text
         self.last_emitted_ref = (next_verse["surah"], next_verse["ayah"])
         self.last_emitted_text = next_verse["text_clean"]
+        self.last_emitted_msg = self.pending_emission_message
         self.last_commit_evidence = _CommitEvidence(0.99, 1.0, True)
         self._enter_tracking(next_verse)
         self._retain_tail_after_commit()
@@ -1389,6 +1597,8 @@ class RecitationTracker:
         self.tracking_verse_words = verse["text_clean"].split()
         self.tracking_last_word_idx = -1
         self.tracking_progress_established = False
+        self.tracking_primary_matches = 0
+        self.stale_speech_cycles = 0
         self.stale_cycles = 0
         self.last_tracking_result = None
 
@@ -1408,6 +1618,8 @@ class RecitationTracker:
         self.tracking_verse_words = []
         self.tracking_last_word_idx = -1
         self.tracking_progress_established = False
+        self.tracking_primary_matches = 0
+        self.stale_speech_cycles = 0
         self.stale_cycles = 0
         self.last_tracking_result = None
 
@@ -1417,19 +1629,44 @@ class RecitationTracker:
         self.pending_emission_margin = math.inf
         self.pre_advance_snapshot = None
 
-    def _rollback_weak_commit(self, reason: str) -> None:
-        if (
+    def _rollback_weak_commit(self, reason: str, force: bool = False) -> dict | None:
+        """Retract the last commit and return a verse_rollback message
+        (None when no rollback applies).
+
+        force=True is the misidentification path (reference:
+        web/server.py:625-675 revert; tracker.ts:1862-1877): the tracker
+        heard `stale_cycle_limit` cycles of real speech that matched
+        nothing in the committed verse — direct evidence the commit was
+        wrong no matter how confident it looked on the partial discovery
+        window (measured: 69:28 committed at 0.99 on the 3-word prefix of
+        111:2, 96:6 on the opening of 103:1-3). Weak-only (force=False)
+        still governs the silence paths, where zero progress just means
+        the reciter stopped."""
+        if not force and (
             self.last_commit_evidence and self.last_commit_evidence.strong
-        ) or self.tracking_progress_established:
-            return
+        ):
+            return None
+        if self.tracking_progress_established or self.last_emitted_ref is None:
+            return None
+        retracted = self.last_emitted_msg
         self.last_emitted_ref = self.prev_emitted_ref
         self.last_emitted_text = self.prev_emitted_text
+        self.last_emitted_msg = None
         self.last_commit_evidence = None
         self._diag(
             type="rollback", reason=reason,
             restored_ref=ref_key(*self.prev_emitted_ref)
             if self.prev_emitted_ref else None,
         )
+        if retracted is None:
+            return None
+        return {
+            "type": "verse_rollback",
+            "surah": retracted["surah"],
+            "ayah": retracted["ayah"],
+            "ayah_end": retracted.get("ayah_end"),
+            "reason": reason,
+        }
 
     def _retain_tail_after_commit(self) -> None:
         """Keep only the last ~0.75-2 s of audio after a strong commit so
