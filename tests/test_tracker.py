@@ -153,6 +153,20 @@ class TestStreamingHypothesis:
     def test_empty(self):
         assert StreamingHypothesis().finalize() is None
 
+    def test_garbage_cycle_skipped(self):
+        # A low-confidence noise cycle between two confident continuation
+        # cycles must be excluded from the final path (skip state), not
+        # forced into it (round-2 fix: emissions were 100% while Viterbi
+        # sat at 57% because every mid-verse partial-window cycle was a
+        # mandatory path node).
+        h = StreamingHypothesis()
+        h.observe_candidates({"candidates": [self._cand(18, 1, 0.95)]})
+        h.observe_candidates({"candidates": [self._cand(73, 20, 0.2)]})
+        h.observe_candidates({"candidates": [self._cand(18, 2, 0.95)]})
+        out = h.finalize()
+        refs = [(v["surah"], v["ayah"]) for v in out["verses"]]
+        assert refs == [(18, 1), (18, 2)]
+
 
 def _tracker(db, token_store, texts, config=None, **kw):
     return RecitationTracker(

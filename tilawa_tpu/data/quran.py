@@ -469,6 +469,40 @@ class QuranDB:
                             "bonus": bonus,
                         }
 
+        # Span completion for suffix-prefix winners: with a continuation
+        # hint, a query "full verse N+1 + head of N+2" lets the
+        # suffix-prefix rescue crown N+2 alone at 1.0 (its head IS the
+        # query's tail) while the true reading is the span N+1..N+2
+        # (measured: "اله الناس من شر" after 114:2 → 114:4 at 1.0, dropping
+        # 114:3). If the span from hint+1 to the winner is prefix-consistent
+        # with the query, return the span.
+        if (
+            hint
+            and best.get("ayah_end") is None
+            and best["surah"] == hint[0]
+            and hint[1] + 1 < best["ayah"] <= hint[1] + max_span
+        ):
+            start = hint[1] + 1
+            stext = self.span_text(best["surah"], start, best["ayah"])
+            if stext and len(stext) >= len(text):
+                pc = ratio(text, stext[: len(text)])
+                if pc >= 0.9:
+                    chunk = [
+                        self._by_ref[(best["surah"], a)]
+                        for a in range(start, best["ayah"] + 1)
+                    ]
+                    best = {
+                        "surah": best["surah"],
+                        "ayah": start,
+                        "ayah_end": best["ayah"],
+                        "text": " ".join(c["text_uthmani"] for c in chunk),
+                        "text_clean": stext,
+                        "score": max(best_score, pc),
+                        "raw_score": pc,
+                        "bonus": best.get("bonus", 0.0),
+                    }
+                    best_score = best["score"]
+
         if best_score >= threshold:
             if return_top_k > 0:
                 best["runners_up"] = top_singles[:return_top_k]

@@ -165,6 +165,11 @@ class HypothesisParams:
     small_forward_per_ayah: float = -0.15
     backward: float = -1.0
     far_forward: float = -0.65
+    # Cost scale for SKIPPING a candidate cycle entirely in the final
+    # Viterbi (garbage-cycle exclusion): cost = skip_scale * top_conf,
+    # so low-confidence noise cycles are near-free to drop while
+    # confident cycles must be explained by the path.
+    skip_scale: float = 0.75
 
 
 def hypothesis_params_from_env() -> HypothesisParams:
@@ -190,4 +195,5 @@ def hypothesis_params_from_env() -> HypothesisParams:
         ),
         backward=env("BACKWARD", d.backward),
         far_forward=env("FAR_FORWARD", d.far_forward),
+        skip_scale=env("SKIP_SCALE", d.skip_scale),
     )

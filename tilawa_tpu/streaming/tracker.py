@@ -267,7 +267,35 @@ class StreamingHypothesis:
                         "verses": best_prev["verses"] + verses,
                     }
                 )
-            previous = current
+            # Skip state — garbage-cycle exclusion: a cycle may contribute
+            # NOTHING to the path, at a cost scaled by how confident its
+            # top candidate was. Forcing every cycle into the path poisons
+            # final_sequence with mid-verse partial-window noise (measured:
+            # emissions 100% while Viterbi sat at 57% on the v1 oracle).
+            if previous:
+                top_conf = max(
+                    (c.get("confidence", 0.0) for c in cycle), default=0.0
+                )
+                skip_cost = self.params.skip_scale * top_conf
+                for st in previous:
+                    current.append(
+                        {
+                            "cand": st["cand"],
+                            "score": st["score"] - skip_cost,
+                            "verses": st["verses"],
+                        }
+                    )
+            # Beam: best state per last-emitted ref keeps the DP bounded
+            # (candidates + carried skips would otherwise grow by cycle).
+            best_by_ref: dict[tuple, dict] = {}
+            for st in current:
+                c = st["cand"]
+                key = (c["surah"], c["ayah"], c.get("ayah_end"))
+                if key not in best_by_ref or st["score"] > best_by_ref[key]["score"]:
+                    best_by_ref[key] = st
+            previous = sorted(
+                best_by_ref.values(), key=lambda st: st["score"], reverse=True
+            )[: self.TOP_PER_CYCLE * 3]
         return max(previous, key=lambda st: st["score"])["verses"]
 
     def finalize(self) -> dict | None:
@@ -461,15 +489,25 @@ class RecitationTracker:
             text_chars = len(text.replace(" ", ""))
             emitted_chars = len(self.last_emitted_text.replace(" ", ""))
             looks_like_leftover = text_chars <= math.ceil(emitted_chars * 1.15)
-            if residual > 0.7 and looks_like_leftover:
-                if not final_flush:
+            if residual > 0.7 and looks_like_leftover and not final_flush:
+                self._diag(type="silence_skip", mode="discovery",
+                           reason=f"residual={residual:.3f}")
+                return messages
+            # Partial residual, live or flush: the window mixes the emitted
+            # verse's tail with the next verse's onset ("…زكريا" + "اذ").
+            # Matching the RAW mix hands fusion a garbled query that can
+            # clear-margin a phantom (measured: 26:196 at 0.99 on
+            # "ه ⁇ زكريا اذ" right after 19:2). Strip the leading residual
+            # (reference: web/server.py:528-559 strips in discovery) and
+            # wait/skip if what remains is too short to match.
+            remainder = self._strip_residual_prefix(text)
+            if remainder != text:
+                if (
+                    len(remainder.replace(" ", "")) < 5
+                    or len(remainder.split()) < 2
+                ):
                     self._diag(type="silence_skip", mode="discovery",
-                               reason=f"residual={residual:.3f}")
-                    return messages
-                remainder = self._strip_residual_prefix(text)
-                if len(remainder.replace(" ", "")) < 5 or len(remainder.split()) < 2:
-                    self._diag(type="silence_skip", mode="discovery",
-                               reason=f"residual_flush={residual:.3f}")
+                               reason=f"residual_short={residual:.3f}")
                     return messages
                 self._diag(type="residual_strip", mode="discovery",
                            kept=remainder, dropped=len(text) - len(remainder))
@@ -495,7 +533,11 @@ class RecitationTracker:
         # flush no more audio is coming, so the head-of-a-longer-verse
         # reading is dead and full-ratio must decide — otherwise the long
         # prefix-twin wins over the actually-recited short verse (3:2's
-        # complete text scored 0.98 as a "prefix of 2:255" at flush).
+        # complete text scored 0.98 as a "prefix of 2:255" at flush; a
+        # truncated recording of 3:2's own opening must also resolve to
+        # the shorter twin). Mid-verse PAUSE flushes are instead protected
+        # by the continuation rule in _derive_effective_match: the
+        # expected next verse cannot be overridden by a weak-text rival.
         if not final_flush:
             for c in retrieved:
                 c["score"] = prefix_blend_score(
@@ -741,8 +783,18 @@ class RecitationTracker:
             self.pending_leader = None
             self.cycles_since_commit = 0
             self.consecutive_auto_advances = 0
-            if verse:
-                self._enter_tracking(verse)
+            # Track the span's LAST verse — that's where the reciter is.
+            # Tracking the first verse of a 2-verse span completes
+            # instantly ("الم") and its completion path overwrote the
+            # span-aware last_emitted_text with the first verse's
+            # with-bismillah text, blinding the residual check to the
+            # span tail (measured: "للمتقين" after span 2:1-2 read as
+            # novel content and cascaded two phantoms).
+            track_verse = (
+                self.db.get_verse(ref[0], a_end) if a_end != ref[1] else verse
+            ) or verse
+            if track_verse:
+                self._enter_tracking(track_verse)
                 self._retain_tail_after_commit()
         return messages
 
@@ -842,10 +894,48 @@ class RecitationTracker:
         words = text.split()
         if not prev or not words:
             return text
+        # Next-verse head guard: in refrain surahs consecutive verses share
+        # words ("…الناس" ends every verse of 114), so the fuzzy residual
+        # match can eat the NEXT verse's opening as "leftover" (measured:
+        # "اله الناس" — all of 114:3 — stripped after span 114:1-2). If the
+        # tail from position k reads as the next verse starting, stop
+        # stripping there.
+        nxt_text = ""
+        if self.last_emitted_ref:
+            end_ayah = self.last_emitted_ref[1]
+            if self.last_emitted_msg and self.last_emitted_msg.get(
+                "surah"
+            ) == self.last_emitted_ref[0]:
+                end_ayah = (
+                    self.last_emitted_msg.get("ayah_end")
+                    or self.last_emitted_msg["ayah"]
+                )
+            nxt = self.db.get_next_verse(self.last_emitted_ref[0], end_ayah)
+            nxt_text = (nxt or {}).get("text_clean") or ""
         best_k = 0
+        prev_chars = len(prev.replace(" ", ""))
         for k in range(1, len(words) + 1):
-            prefix = " ".join(words[:k])
-            if partial_ratio(prefix, prev) >= min_score:
+            if nxt_text:
+                tail = " ".join(words[k - 1 :])
+                if ratio(tail[: len(nxt_text)], nxt_text) >= 0.85:
+                    break
+            prefix = " ".join(
+                w for w in words[:k] if any("؀" <= ch <= "ۿ" for ch in w)
+            )
+            # A leading residual cannot be longer than the emitted text —
+            # and partial_ratio flips direction once the prefix outgrows
+            # prev (it aligns the SHORTER inside the longer, so "prev ⊂
+            # prefix" saturates at 1.0 and the strip eats the new verse
+            # too; measured: 55:4 "علمه البيان" vanished after "خلق
+            # الانسن").
+            if len(prefix.replace(" ", "")) > prev_chars * 1.15 + 2:
+                break
+            # Decoder filler glyphs ("⁇") carry no lexical evidence — they
+            # must not anchor a "this is new content" decision mid-residual
+            # (measured: "ه ⁇ زكريا اذ" after emitting 19:2 stripped only
+            # "ه" because ⁇ broke the chain, and the garbled remainder
+            # clear-margined phantom 26:196).
+            if not prefix or partial_ratio(prefix, prev) >= min_score:
                 best_k = k
         return " ".join(words[best_k:])
 
@@ -858,6 +948,20 @@ class RecitationTracker:
             and len(result.token_ids) >= 2
             and self.cycles_since_commit > 1
         ):
+            return []
+        # Residual guard: a short fragment that reads as part of the verse
+        # just emitted is leftover audio, not a new short verse (measured:
+        # "شاء" — the tail of 16:90's "الفحشاء" — rescue-committed 56:31,
+        # whose wrong last_emitted_text then let the rest of 16:90's tail
+        # cascade into a second phantom at flush).
+        text = result.text.strip()
+        if (
+            text
+            and self.last_emitted_text
+            and partial_ratio(text, self.last_emitted_text) > 0.7
+        ):
+            self._diag(type="silence_skip", mode="discovery",
+                       reason="short rescue residual")
             return []
         shorts = self._short_verse_candidates()
         if not shorts:
@@ -941,6 +1045,19 @@ class RecitationTracker:
                     add(c)
         for verse in self.db.search(text, top_k=single_limit):
             add(dict(verse))
+        # Trigram seeds: the edit-ratio search buries long verses whose
+        # HEAD matches a short query (mid-verse windows), while the trigram
+        # index ranks them by shared rare character n-grams regardless of
+        # length (measured: "قالا ربنا ظلم" is the exact opening of 7:23 —
+        # trigram rank 0, absent from search top-200). Score them with the
+        # fragment measure; the prefix-blend rescoring then lifts true
+        # head-matches (quran-db.ts:586-605 ngram-pruned joint02 plays the
+        # same role in the reference).
+        for i in self.db.trigram_candidates(text, top_k=16):
+            v = self.db.verses[i]
+            c = dict(v)
+            c["score"] = self.db.best_fragment_score(text, v)
+            add(c)
 
         # Span enumeration around the top single refs.
         top_refs = [(c["surah"], c["ayah"]) for c in out[:24]]
@@ -1090,6 +1207,21 @@ class RecitationTracker:
                     or fusion_gap >= FUSION_SELECTION_GAP
                     or (is_span and fusion_best["length_fit"] >= 0.7)
                 )
+                # A CONTINUATION match (the expected next verse, carrying
+                # the continuation bonus) yields only to a rival with real
+                # text evidence. Short windows structurally favor short
+                # verses acoustically — the true next verse's tail hasn't
+                # been recited yet, so its CTC score can't compete
+                # (measured: 84:20 stole the commit from 2:3 on the
+                # pause-flush window "الذين يؤمن", 2:3's exact head;
+                # reference: server.py:914-945 strong-continuation rule).
+                if (
+                    should_override
+                    and self._is_continuation(match["surah"], match["ayah"])
+                    and not self._is_continuation(fb["surah"], fb["ayah"])
+                    and float(fb.get("score", 0.0)) < 0.6
+                ):
+                    should_override = False
                 if should_override:
                     effective, score = as_match(fusion_best, floor=0.5)
                     score = max(score, match["score"])
@@ -1113,9 +1245,21 @@ class RecitationTracker:
             and result.has_acoustic
         ):
             fb = fusion_best["candidate"]
+            # Never override a CONTINUATION effective: a flush can fire on
+            # a mid-verse breath pause where the expected next verse is
+            # EXPECTEDLY infeasible (its tail hasn't been recited) — a
+            # short verse that merely fits the frames must not steal the
+            # commit (measured: 84:20 over 2:3 on the pause-flush window
+            # "الذين يؤمن", 2:3's exact head). Without continuation context
+            # the override stands: it is what resolves the fragment-tied
+            # twins ("الله لا اله الا" ties 2:255/3:2/4:87/9:129 at 0.98;
+            # only the short twin fits the recorded frames).
+            eff_is_cont = self._is_continuation(
+                effective["surah"], effective["ayah"]
+            )
             if ref_key(effective["surah"], effective["ayah"], effective.get("ayah_end")) != ref_key(
                 fb["surah"], fb["ayah"], fb.get("ayah_end")
-            ) and fusion_best["fusion_score"] >= 0.6:
+            ) and fusion_best["fusion_score"] >= 0.6 and not eff_is_cont:
                 eff_ids = self.token_store.ids_for_candidate(effective)
                 if eff_ids and 2 * len(eff_ids) + 1 > result.t_valid:
                     effective, score = as_match(fusion_best)
@@ -1302,6 +1446,17 @@ class RecitationTracker:
                         and self.tracking_primary_matches == 0
                         and self.stale_speech_cycles >= 2
                         and not self._stale_text_is_continuation(text, verse)
+                        # Span commits track the span's LAST verse; speech
+                        # from an EARLIER span verse is expected, not
+                        # misidentification (measured: mid-19:2 speech
+                        # while tracking 19:3 of span 19:1-3 retracted a
+                        # correct commit).
+                        and not (
+                            text
+                            and self.last_emitted_text
+                            and partial_ratio(text, self.last_emitted_text)
+                            >= 0.6
+                        )
                     )
                     rb = self._rollback_weak_commit(
                         "final silence flush" if final_flush else "stale tracking",

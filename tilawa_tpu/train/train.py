@@ -232,6 +232,19 @@ def main():  # pragma: no cover - CLI
     parser.add_argument("--weighting", default="prop",
                         choices=["prop", "sqrt", "uniform"])
     parser.add_argument(
+        "--crop-prob", type=float, default=0.0,
+        help="fraction of examples replaced by forced-alignment window "
+             "crops (streaming robustness; see train/finetune.py)",
+    )
+    parser.add_argument("--dropout", type=float, default=None,
+                        help="override config dropout")
+    parser.add_argument(
+        "--specaug", action="store_true",
+        help="enable in-graph SpecAugment (2 freq masks, 10 time masks "
+             "<=5%% of valid length — ops/specaug.py)",
+    )
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
         "--only-ids", default=None,
         help="JSON from train.fit_report (or comma list): restrict training "
              "to these sample ids",
@@ -247,6 +260,14 @@ def main():  # pragma: no cover - CLI
             FastConformerConfig.small()
             if args.preset == "small"
             else FastConformerConfig.large()
+        )
+    import dataclasses as _dc
+
+    if args.dropout is not None and args.dropout != config.dropout:
+        config = _dc.replace(config, dropout=args.dropout)
+    if args.specaug:
+        config = _dc.replace(
+            config, sa_freq_masks=2, sa_time_masks=10, sa_time_frac=0.05
         )
     corpora = (
         ("v1", "v2", "v3") if args.corpora == "all"
@@ -267,14 +288,16 @@ def main():  # pragma: no cover - CLI
         batches = bucketed_corpus_batches(
             corpora=corpora, augment=not args.no_augment,
             weighting=args.weighting, only_ids=only_ids,
+            crop_prob=args.crop_prob, seed=args.seed,
         )
     else:
         batches = corpus_batches(batch_size=args.batch_size, corpus=corpora[0])
     train(
-        config, batches, args.steps, lr=args.lr,
+        config, batches, args.steps, lr=args.lr, seed=args.seed,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         init_from=args.init_from,
+        warmup_steps=max(100, args.steps // 20),
     )
 
 
