@@ -418,3 +418,33 @@ def _oracle():
 @register("oracle-hard")
 def _oracle_hard():
     return OracleExperiment(error_rate=0.10, noise=1.0)
+
+
+def _heldout_checkpoint() -> Path | None:
+    """Newest artifact of the held-out campaign: exports/heldout-int4 if
+    exported, else the highest-step checkpoints/heldout/step_*."""
+    export = Path("exports/heldout-int4")
+    if (export / "variables.msgpack").exists():
+        return export
+    steps = sorted(Path("checkpoints/heldout").glob("step_*"))
+    return steps[-1] if steps else None
+
+
+@register("heldout")
+def _heldout():
+    """Champion pipeline on the HELD-OUT model: trained from scratch on
+    v2+v3 audio only — v1 was never seen, so its v1 score is the
+    generalization-honest accuracy claim (the shipped champion declares
+    train==test overlap; the reference's own model never saw its test
+    corpus — scripts/train_fastconformer_phoneme_modal.py:330-816)."""
+    from tilawa_tpu.pipeline.predict import Recognizer
+    from tilawa_tpu.pipeline.runtime import EncoderRuntime
+    from tilawa_tpu.train.checkpoint import load_variables
+
+    ckpt = _heldout_checkpoint()
+    if ckpt is None:
+        raise FileNotFoundError(
+            "no held-out artifact: run tilawa_tpu.train.train --corpora v2,v3"
+        )
+    config, variables = load_variables(ckpt)
+    return Recognizer(EncoderRuntime(config, variables), tta=True)
