@@ -170,6 +170,15 @@ class HypothesisParams:
     # so low-confidence noise cycles are near-free to drop while
     # confident cycles must be explained by the path.
     skip_scale: float = 0.75
+    # Bonus for a path candidate that names a verse the tracker actually
+    # COMMITTED: commits survived every live gate (ambiguity, stability,
+    # residual, feasibility), so the final path should prefer explaining
+    # them over raw candidate noise.
+    commit_anchor: float = 0.6
+    # Expectation subtracted from candidate confidence in the final
+    # Viterbi: fusion confidences run 0.7-1.0 even on garbage cycles,
+    # so emissions are scored relative to this bias.
+    emission_bias: float = 0.8
 
 
 def hypothesis_params_from_env() -> HypothesisParams:
@@ -196,4 +205,6 @@ def hypothesis_params_from_env() -> HypothesisParams:
         backward=env("BACKWARD", d.backward),
         far_forward=env("FAR_FORWARD", d.far_forward),
         skip_scale=env("SKIP_SCALE", d.skip_scale),
+        commit_anchor=env("COMMIT_ANCHOR", d.commit_anchor),
+        emission_bias=env("EMISSION_BIAS", d.emission_bias),
     )

@@ -205,6 +205,25 @@ class StreamingHypothesis:
             for v in self.committed
         ):
             self.committed.append(verse)
+        # Insert the commit as its own path cycle: commits usually come
+        # from the TEXT match (effective), which is absent from the
+        # fusion-ranked candidate top-5 — without this the Viterbi path
+        # literally cannot contain the verses the tracker emitted
+        # (measured: exp 110:3 → path [56:96] while emissions were
+        # perfect).
+        self.cycles.append([
+            {
+                "surah": message["surah"],
+                "ayah": message["ayah"],
+                "ayah_end": message.get("ayah_end"),
+                "confidence": min(
+                    1.5,
+                    message.get("confidence", 0.9) + self.params.commit_anchor,
+                ),
+            }
+        ])
+        if len(self.cycles) > self.MAX_CYCLES:
+            self.cycles.pop(0)
 
     def reset(self) -> None:
         self.cycles = []
@@ -242,22 +261,44 @@ class StreamingHypothesis:
         ]
 
     def _best_path(self) -> list[dict]:
+        """Skip-aware Viterbi. Emissions are scored RELATIVE to an
+        expectation (conf − emission_bias): raw fusion confidences run
+        0.7-1.0 even on garbage partial-window cycles, so an additive
+        reward makes every cycle worth including and the skip state can
+        never win (measured: emissions 100% / path 57% on the v1 oracle).
+        With relative emissions, off-flow cycles add negative mass and the
+        transition structure decides; skipping a cycle costs what its best
+        candidate left on the table (never less than a small constant, so
+        confident cycles — commit cycles carry conf ≈ 1.5 — are near-
+        mandatory while garbage is near-free to drop)."""
         if not self.cycles:
             return []
-        previous: list[dict] = []
+        committed_refs = {(v["surah"], v["ayah"]) for v in self.committed}
+        p = self.params
+        # virtual start state: a path may also skip leading cycles
+        previous: list[dict] = [{"cand": None, "score": 0.0, "verses": []}]
         for cycle in self.cycles:
-            current = []
+            emissions: list[tuple[dict, float]] = []
             for cand in cycle:
-                verses = self._expand(cand)
                 conf = cand.get("confidence", 0.0)
-                if not previous:
-                    current.append(
-                        {"cand": cand, "score": conf, "verses": verses}
-                    )
-                    continue
+                if committed_refs and any(
+                    (v["surah"], v["ayah"]) in committed_refs
+                    for v in self._expand(cand)
+                ):
+                    conf += p.commit_anchor
+                emissions.append((cand, conf - p.emission_bias))
+            top_em = max(em for _c, em in emissions)
+            skip_cost = max(0.05, top_em)
+            current = []
+            for cand, em in emissions:
+                verses = self._expand(cand)
                 best_prev, best_score = None, -math.inf
                 for st in previous:
-                    s = st["score"] + conf + self._transition(st["cand"], cand)
+                    trans = (
+                        0.0 if st["cand"] is None
+                        else self._transition(st["cand"], cand)
+                    )
+                    s = st["score"] + em + trans
                     if s > best_score:
                         best_score, best_prev = s, st
                 current.append(
@@ -267,30 +308,22 @@ class StreamingHypothesis:
                         "verses": best_prev["verses"] + verses,
                     }
                 )
-            # Skip state — garbage-cycle exclusion: a cycle may contribute
-            # NOTHING to the path, at a cost scaled by how confident its
-            # top candidate was. Forcing every cycle into the path poisons
-            # final_sequence with mid-verse partial-window noise (measured:
-            # emissions 100% while Viterbi sat at 57% on the v1 oracle).
-            if previous:
-                top_conf = max(
-                    (c.get("confidence", 0.0) for c in cycle), default=0.0
+            for st in previous:  # skip state
+                current.append(
+                    {
+                        "cand": st["cand"],
+                        "score": st["score"] - skip_cost,
+                        "verses": st["verses"],
+                    }
                 )
-                skip_cost = self.params.skip_scale * top_conf
-                for st in previous:
-                    current.append(
-                        {
-                            "cand": st["cand"],
-                            "score": st["score"] - skip_cost,
-                            "verses": st["verses"],
-                        }
-                    )
-            # Beam: best state per last-emitted ref keeps the DP bounded
-            # (candidates + carried skips would otherwise grow by cycle).
+            # Beam: best state per last ref keeps the DP bounded.
             best_by_ref: dict[tuple, dict] = {}
             for st in current:
                 c = st["cand"]
-                key = (c["surah"], c["ayah"], c.get("ayah_end"))
+                key = (
+                    ("START",) if c is None
+                    else (c["surah"], c["ayah"], c.get("ayah_end"))
+                )
                 if key not in best_by_ref or st["score"] > best_by_ref[key]["score"]:
                     best_by_ref[key] = st
             previous = sorted(
