@@ -411,3 +411,21 @@ class TestRollbackAndSpanRemainder:
         assert (
             tr._best_rival_prefix_consistency(effective, match, [], text) >= 0.95
         )
+
+    def test_pending_flush_emit_requires_lexical_evidence(self, db, token_store):
+        # A pending next-verse emission armed by coverage/CTC margin alone
+        # (no cycle ever lexically matched the pending verse's words) must
+        # NOT be emitted by the final flush (round-2 fix: 10:17 emitted
+        # after 10:16 on leftover tail audio).
+        v = db.get_verse(112, 1)
+        full = v["text_clean"]
+        tr = _tracker(db, token_store, [full] * 3 + ["غامض كلام بلا معنى"] * 10)
+        tr.feed(speech(2.1))
+        tr.feed(speech(2.1))
+        assert tr.in_tracking
+        tr.feed(speech(0.6))  # completion → pending 112:2 armed
+        got = []
+        for _ in range(4):
+            got += [m for m in tr.feed(speech(0.6)) if m["type"] == "verse_match"]
+        got += [m for m in tr.feed(silence(2.0)) if m["type"] == "verse_match"]
+        assert not any(m["ayah"] == 2 for m in got)

@@ -405,6 +405,7 @@ class RecitationTracker:
         self.tracking_verse: dict | None = None
         self.tracking_verse_words: list[str] = []
         self.tracking_last_word_idx = -1
+        self.tracking_lexical_word_idx = -1
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
@@ -743,6 +744,47 @@ class RecitationTracker:
         self.last_raw_transcript = text
 
         if not blocked and (clear_margin_allowed or repeated_leader or final_flush_commit):
+            # Flush span shrink-test: at final flush the transcript is all
+            # there is, so a span that extends past what was recited loses
+            # to its own prefix on full ratio — drop trailing verses while
+            # the ratio improves (measured: 70:4-6 committed on a 70:4+5
+            # transcript; ratio(text, 4:5)=1.0 vs 4:6=0.89; reference
+            # analogue: SPAN_PENALTY in the batch rerank,
+            # c2c-direct/run.py:376).
+            if final_flush:
+                a_end0 = effective.get("ayah_end") or effective["ayah"]
+                a0 = effective["ayah"]
+                if a_end0 > a0:
+                    s0 = effective["surah"]
+                    best_e = a_end0
+                    best_r = ratio(
+                        text, self.db.span_text(s0, a0, a_end0) or ""
+                    )
+                    e = a_end0
+                    while e > a0:
+                        e -= 1
+                        r = ratio(
+                            text,
+                            (self.db.span_text(s0, a0, e) if e > a0 else
+                             (self.db.get_verse(s0, a0) or {}).get(
+                                 "text_clean", "")) or "",
+                        )
+                        if r > best_r + 1e-9:
+                            best_e, best_r = e, r
+                        else:
+                            break
+                    if best_e != a_end0:
+                        effective = dict(effective)
+                        effective["ayah_end"] = (
+                            best_e if best_e > a0 else None
+                        )
+                        effective["text_clean"] = (
+                            self.db.span_text(s0, a0, best_e)
+                            if best_e > a0 else
+                            (self.db.get_verse(s0, a0) or {}).get(
+                                "text_clean", "")
+                        )
+                        key = ref_key(s0, a0, effective.get("ayah_end"))
             ref = (effective["surah"], effective["ayah"])
             if self.last_emitted_ref == ref:
                 # A span that STARTS at the already-emitted verse still
@@ -1381,6 +1423,24 @@ class RecitationTracker:
             recognized, self.tracking_verse_words, resume_from, cfg.lookahead_words
         )
         primary_matched = list(matched)
+        # Lexical evidence FOR THE PENDING verse, independent of which
+        # verse is currently tracked (deferred_confirm keeps tracking the
+        # old verse): the flush emit below requires it.
+        if (
+            self.tracking_pending_emission
+            and self.pending_emission_message is not None
+            and recognized
+        ):
+            pv = self.db.get_verse(
+                self.pending_emission_message["surah"],
+                self.pending_emission_message["ayah"],
+            )
+            if pv:
+                _, pmatched = align_position(
+                    recognized, pv["text_clean"].split(), 0,
+                    cfg.lookahead_words,
+                )
+                self.pending_lexical_matches += len(pmatched)
         self.tracking_primary_matches += len(primary_matched)
         confirmed_pending = False
 
@@ -1448,11 +1508,18 @@ class RecitationTracker:
                 self._diag(type="stale_exit",
                            ref=ref_key(verse["surah"], verse["ayah"]),
                            stale_cycles=self.stale_cycles)
+                # The flush emit additionally requires that SOME cycle
+                # lexically matched the pending verse's words — a pending
+                # armed purely by coverage/CTC margin on the old verse's
+                # tail audio is a guess, not evidence (measured: 10:17
+                # flush-emitted after 10:16 with zero lexical matches
+                # across every pending cycle).
                 if (
                     final_flush
                     and self.tracking_pending_emission
                     and self.pending_emission_message is not None
                     and self.pending_emission_margin < cfg.advance_flush_strict_margin
+                    and self.pending_lexical_matches > 0
                 ):
                     pending = self.pending_emission_message
                     messages.append(pending)
@@ -1510,6 +1577,8 @@ class RecitationTracker:
         # without vouching for the verse identity.
         if primary_matched:
             self.tracking_progress_established = True
+            if primary_matched[-1] > self.tracking_lexical_word_idx:
+                self.tracking_lexical_word_idx = primary_matched[-1]
         self.tracking_last_word_idx = matched[-1]
         word_pos = self.tracking_last_word_idx + 1
         total_words = len(self.tracking_verse_words)
@@ -1517,10 +1586,16 @@ class RecitationTracker:
         completion_target = math.ceil(total_words * cfg.tracking_completion_coverage)
         completed_enough = word_pos >= completion_target
         final_word_reached = self.tracking_last_word_idx >= total_words - 1
+        # Lexical-only coverage: the acoustic/char fallbacks saturate on
+        # short verses fed leftover audio, so they may drive word_progress
+        # display but never CONFIRM a deferred emission (measured: 100:1's
+        # tail audio "confirmed" phantom 100:2 then 100:3 through acoustic
+        # word progress alone).
+        lex_completed = self.tracking_lexical_word_idx + 1 >= completion_target
 
-        # Coverage-confirmed deferred emission.
+        # Coverage-confirmed deferred emission (lexical evidence only).
         if (
-            completed_enough
+            lex_completed
             and self.tracking_pending_emission
             and self.pending_emission_message is not None
         ):
@@ -1784,6 +1859,7 @@ class RecitationTracker:
         self.tracking_verse = verse
         self.tracking_verse_words = verse["text_clean"].split()
         self.tracking_last_word_idx = -1
+        self.tracking_lexical_word_idx = -1
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
@@ -1805,6 +1881,7 @@ class RecitationTracker:
         self.tracking_verse = None
         self.tracking_verse_words = []
         self.tracking_last_word_idx = -1
+        self.tracking_lexical_word_idx = -1
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
@@ -1815,6 +1892,7 @@ class RecitationTracker:
         self.tracking_pending_emission = False
         self.pending_emission_message = None
         self.pending_emission_margin = math.inf
+        self.pending_lexical_matches = 0
         self.pre_advance_snapshot = None
 
     def _rollback_weak_commit(self, reason: str, force: bool = False) -> dict | None:
