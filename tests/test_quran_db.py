@@ -128,6 +128,7 @@ def test_match_verse_span_reachable_via_trigram_rare_word(quran_db):
     # "والعصر ان الانسن" = all of short 103:1 + the head of 103:2. The edit
     # ratio under-ranks 103:1 (query runs past it) but the trigram index
     # ranks it first; the span pass must enumerate surah 103 from that
-    # signal and return the 103:1-2 span (round-2 fix).
-    m = quran_db.match_verse("والعصر ان الانسن", max_span=4)
+    # signal and return the 103:1-2 span (round-2 fix, opt-in via
+    # seeded_spans so the default path stays reference-parity).
+    m = quran_db.match_verse("والعصر ان الانسن", max_span=4, seeded_spans=True)
     assert m and (m["surah"], m["ayah"], m.get("ayah_end")) == (103, 1, 2)

@@ -153,6 +153,36 @@ class TestStreamingHypothesis:
     def test_empty(self):
         assert StreamingHypothesis().finalize() is None
 
+    def test_rollback_removes_commit_from_path(self):
+        # A forcibly retracted commit must not keep steering the final
+        # path: its confidence-1.5 commit cycle and committed_refs anchor
+        # both go away on observe_rollback (ADVICE r2 medium #1).
+        h = StreamingHypothesis()
+        h.observe_commit({"surah": 69, "ayah": 28, "confidence": 0.99})
+        h.observe_rollback({"surah": 69, "ayah": 28})
+        h.observe_candidates({"candidates": [self._cand(111, 2, 0.95)]})
+        h.observe_candidates({"candidates": [self._cand(111, 3, 0.95)]})
+        out = h.finalize()
+        refs = [(v["surah"], v["ayah"]) for v in out["verses"]]
+        assert (69, 28) not in refs
+        assert refs == [(111, 2), (111, 3)]
+        assert h.committed == []
+
+    def test_span_commit_anchors_tail_ayahs(self):
+        # After committing 103:1-2, a later candidate naming 103:2 alone
+        # earns the commit anchor (committed_refs expands over the span —
+        # ADVICE r2 low #4).
+        h = StreamingHypothesis()
+        h.observe_commit(
+            {"surah": 103, "ayah": 1, "ayah_end": 2, "confidence": 0.9}
+        )
+        anchored = self._cand(103, 2, 0.55)
+        rival = self._cand(59, 9, 0.6)
+        h.observe_candidates({"candidates": [rival, anchored]})
+        out = h.finalize()
+        refs = [(v["surah"], v["ayah"]) for v in out["verses"]]
+        assert refs[-1] == (103, 2)
+
     def test_garbage_cycle_skipped(self):
         # A low-confidence noise cycle between two confident continuation
         # cycles must be excluded from the final path (skip state), not

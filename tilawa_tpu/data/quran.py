@@ -354,6 +354,7 @@ class QuranDB:
         hint: tuple[int, int] | None = None,
         return_top_k: int = 0,
         use_trigram_index: bool = False,
+        seeded_spans: bool = False,
     ) -> dict | None:
         """Best-matching verse or consecutive-verse span.
 
@@ -361,6 +362,14 @@ class QuranDB:
         a full-scan fallback below 20 hits), then 2..max_span span windows
         inside the top-20 candidate surahs. Continuation *hint* adds bonuses
         and enables suffix-prefix rescue scoring.
+
+        seeded_spans=True additionally (a) seeds the span pass with the top
+        trigram candidates' surahs (a short opening verse like 103:1 is
+        rank-897 by fragment score but rank-1 by trigram, and only its SPAN
+        matches the query) and (b) completes a suffix-prefix winner into the
+        hint..winner span. Both are measured tracker improvements; the
+        default False path is score-exact with the reference
+        (reference: shared/quran_db.py:244-371 spans only scored[:20]).
         """
         text = normalize_arabic(text)
         if not text.strip():
@@ -435,9 +444,11 @@ class QuranDB:
         # first — only the 103:1-2 SPAN matches well, and it is reachable
         # only if surah 103 enters this pass).
         span_surahs: list[int] = [v["surah"] for v, _r, _b, _t in scored[:20]]
-        span_surahs.extend(
-            self.verses[i]["surah"] for i in self.trigram_candidates(text, top_k=20)
-        )
+        if seeded_spans:
+            span_surahs.extend(
+                self.verses[i]["surah"]
+                for i in self.trigram_candidates(text, top_k=20)
+            )
         seen_surahs: set[int] = set()
         for s in span_surahs:
             if s in seen_surahs:
@@ -477,7 +488,8 @@ class QuranDB:
         # 114:3). If the span from hint+1 to the winner is prefix-consistent
         # with the query, return the span.
         if (
-            hint
+            seeded_spans
+            and hint
             and best.get("ayah_end") is None
             and best["surah"] == hint[0]
             and hint[1] + 1 < best["ayah"] <= hint[1] + max_span

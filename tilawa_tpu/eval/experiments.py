@@ -421,13 +421,21 @@ def _oracle_hard():
 
 
 def _heldout_checkpoint() -> Path | None:
-    """Newest artifact of the held-out campaign: exports/heldout-int4 if
-    exported, else the highest-step checkpoints/heldout/step_*."""
+    """Newest artifact of the held-out campaign: TILAWA_HELDOUT_CKPT env,
+    else exports/heldout-int4 if exported, else the highest-step checkpoint
+    of the newest campaign phase (heldout2 = phase 1b continuation,
+    heldout = phase 1)."""
+    env = os.getenv("TILAWA_HELDOUT_CKPT")
+    if env:
+        return Path(env)
     export = Path("exports/heldout-int4")
     if (export / "variables.msgpack").exists():
         return export
-    steps = sorted(Path("checkpoints/heldout").glob("step_*"))
-    return steps[-1] if steps else None
+    for run in ("heldout2", "heldout"):
+        steps = sorted(Path("checkpoints").joinpath(run).glob("step_*"))
+        if steps:
+            return steps[-1]
+    return None
 
 
 @register("heldout")

@@ -152,15 +152,19 @@ def run_experiment(
         for k in totals:
             totals[k] += scores[k]
         latencies.append(elapsed)
-        per_sample.append(
-            {
-                "id": sample["id"],
-                "expected": expected,
-                "predicted": emissions,
-                **scores,
-                "latency": elapsed,
-            }
-        )
+        row = {
+            "id": sample["id"],
+            "expected": expected,
+            "predicted": emissions,
+            **scores,
+            "latency": elapsed,
+        }
+        # Per-stage wall-times when TILAWA_PROFILE=1 (reference convention:
+        # C2C_DIRECT_MIXED_PROFILE stage timers, c2c-direct-mixed/run.py:34).
+        prof = getattr(pipeline, "last_profile", None)
+        if prof:
+            row["profile"] = {k: round(v, 4) for k, v in prof.items()}
+        per_sample.append(row)
 
     n = len(per_sample)
     label = name if mode == "full" else f"{name} (stream {chunk_seconds:.0f}s)"

@@ -66,6 +66,7 @@ def text_match(
         max_span=max_span,
         return_top_k=top_text,
         use_trigram_index=True,
+        seeded_spans=True,
     )
 
 

@@ -182,8 +182,11 @@ class Recognizer:
             self.last_profile = {"forward": t1 - t0}
         result = self._predict_from_logprobs(lp, t_valid, transcript)
         if not self.tta or result["score"] >= TTA_SKIP_THRESHOLD:
+            if PROFILE:
+                self.last_profile["audio_s"] = len(audio) / 16000.0
             return result
 
+        t_tta = time.perf_counter()
         # Hard sample: batched 2-way perturbed pass (one dispatch).
         perturbed = [speed_perturb(audio, f) for f in TTA_FACTORS]
         if device_path:
@@ -202,6 +205,9 @@ class Recognizer:
                 for i in range(len(perturbed))
             ]
         all_preds = [preds[0], result, preds[1]]  # 0.9x, 1.0x, 1.1x
+        if PROFILE:
+            self.last_profile["tta"] = time.perf_counter() - t_tta
+            self.last_profile["audio_s"] = len(audio) / 16000.0
         keys = [(p["surah"], p["ayah"]) for p in all_preds]
 
         counts: dict[tuple[int, int], int] = {}

@@ -166,10 +166,12 @@ class HypothesisParams:
     backward: float = -1.0
     far_forward: float = -0.65
     # Cost scale for SKIPPING a candidate cycle entirely in the final
-    # Viterbi (garbage-cycle exclusion): cost = skip_scale * top_conf,
-    # so low-confidence noise cycles are near-free to drop while
-    # confident cycles must be explained by the path.
-    skip_scale: float = 0.75
+    # Viterbi (garbage-cycle exclusion):
+    # cost = max(0.05, skip_scale * top_relative_emission), so
+    # low-confidence noise cycles are near-free to drop while confident
+    # cycles must be explained by the path. 1.0 reproduces the round-2
+    # measured behavior (oracle Viterbi v1/v2/v3 0.818/0.791/0.784).
+    skip_scale: float = 1.0
     # Bonus for a path candidate that names a verse the tracker actually
     # COMMITTED: commits survived every live gate (ambiguity, stability,
     # residual, feasibility), so the final path should prefer explaining

@@ -57,7 +57,7 @@ class StreamingPipeline:
         for _ in range(20):
             if not remaining.strip():
                 break
-            result = self.db.match_verse(remaining, max_span=8, hint=hint)
+            result = self.db.match_verse(remaining, max_span=8, hint=hint, seeded_spans=True)
             if not result or result.get("score", 0) < min_score:
                 break
             min_score = 0.7

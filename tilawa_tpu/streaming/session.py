@@ -330,6 +330,7 @@ class RecitationSession:
             max_span=self.config.max_span,
             hint=self.last_emitted_ref,
             return_top_k=5,
+            seeded_spans=True,
         )
         match = self._rerank_ambiguous(query_text, match)
 

@@ -198,6 +198,7 @@ class StreamingHypothesis:
         verse = {
             "surah": message["surah"],
             "ayah": message["ayah"],
+            "ayah_end": message.get("ayah_end"),
             "confidence": message.get("confidence", 0.0),
         }
         if not any(
@@ -210,7 +211,9 @@ class StreamingHypothesis:
         # fusion-ranked candidate top-5 — without this the Viterbi path
         # literally cannot contain the verses the tracker emitted
         # (measured: exp 110:3 → path [56:96] while emissions were
-        # perfect).
+        # perfect). The _commit flag exempts this cycle from the
+        # committed_refs anchor bonus in _best_path (its confidence
+        # already carries commit_anchor — no double counting).
         self.cycles.append([
             {
                 "surah": message["surah"],
@@ -220,10 +223,33 @@ class StreamingHypothesis:
                     1.5,
                     message.get("confidence", 0.9) + self.params.commit_anchor,
                 ),
+                "_commit": True,
             }
         ])
         if len(self.cycles) > self.MAX_CYCLES:
             self.cycles.pop(0)
+
+    def observe_rollback(self, message: dict) -> None:
+        """A forcibly retracted (misidentified) commit must not keep
+        steering the final path: drop the ref from `committed` (no more
+        commit_anchor for matching candidates) and remove its synthetic
+        commit cycle so finalize() doesn't have to pay the skip cost of a
+        confidence-1.5 cycle to exclude the very verse the tracker just
+        retracted (reference rollback semantics: web/server.py:625-675)."""
+        surah, ayah = message["surah"], message["ayah"]
+        self.committed = [
+            v for v in self.committed
+            if not (v["surah"] == surah and v["ayah"] == ayah)
+        ]
+        self.cycles = [
+            cycle for cycle in self.cycles
+            if not (
+                len(cycle) == 1
+                and cycle[0].get("_commit")
+                and cycle[0]["surah"] == surah
+                and cycle[0]["ayah"] == ayah
+            )
+        ]
 
     def reset(self) -> None:
         self.cycles = []
@@ -273,7 +299,13 @@ class StreamingHypothesis:
         mandatory while garbage is near-free to drop)."""
         if not self.cycles:
             return []
-        committed_refs = {(v["surah"], v["ayah"]) for v in self.committed}
+        # Expand span commits over every ayah they cover, so a candidate
+        # naming any verse of a committed span earns the anchor.
+        committed_refs = {
+            (v["surah"], a)
+            for v in self.committed
+            for a in range(v["ayah"], max(v.get("ayah_end") or v["ayah"], v["ayah"]) + 1)
+        }
         p = self.params
         # virtual start state: a path may also skip leading cycles
         previous: list[dict] = [{"cand": None, "score": 0.0, "verses": []}]
@@ -281,14 +313,20 @@ class StreamingHypothesis:
             emissions: list[tuple[dict, float]] = []
             for cand in cycle:
                 conf = cand.get("confidence", 0.0)
-                if committed_refs and any(
-                    (v["surah"], v["ayah"]) in committed_refs
-                    for v in self._expand(cand)
+                # Synthetic commit cycles already carry commit_anchor in
+                # their confidence — no second helping via committed_refs.
+                if (
+                    not cand.get("_commit")
+                    and committed_refs
+                    and any(
+                        (v["surah"], v["ayah"]) in committed_refs
+                        for v in self._expand(cand)
+                    )
                 ):
                     conf += p.commit_anchor
                 emissions.append((cand, conf - p.emission_bias))
             top_em = max(em for _c, em in emissions)
-            skip_cost = max(0.05, top_em)
+            skip_cost = max(0.05, p.skip_scale * top_em)
             current = []
             for cand, em in emissions:
                 verses = self._expand(cand)
@@ -399,6 +437,7 @@ class RecitationTracker:
         self.last_emitted_msg: dict | None = None
         self.prev_emitted_ref: tuple[int, int] | None = None
         self.prev_emitted_text = ""
+        self.prev_emitted_msg: dict | None = None
         self.last_commit_evidence: _CommitEvidence | None = None
         self.consecutive_auto_advances = 0
 
@@ -467,6 +506,8 @@ class RecitationTracker:
                 self.hypothesis.observe_candidates(m)
             elif m["type"] == "verse_match":
                 self.hypothesis.observe_commit(m)
+            elif m["type"] == "verse_rollback":
+                self.hypothesis.observe_rollback(m)
 
         if final_flush:
             final_seq = self.hypothesis.finalize()
@@ -553,6 +594,7 @@ class RecitationTracker:
             max_span=DISCOVERY_MAX_SPAN,
             hint=self.last_emitted_ref,
             return_top_k=5,
+            seeded_spans=True,
         )
         text_confidence_low = (
             match is None or match["score"] < cfg.verse_match_threshold + 0.10
@@ -834,6 +876,7 @@ class RecitationTracker:
             )
             self.prev_emitted_ref = self.last_emitted_ref
             self.prev_emitted_text = self.last_emitted_text
+            self.prev_emitted_msg = self.last_emitted_msg
             self.last_emitted_ref = ref
             # Span commits must remember the FULL span text: the residual
             # check compares later windows against last_emitted_text, and a
@@ -1065,6 +1108,7 @@ class RecitationTracker:
         msg = self._verse_match_message(verse, confidence)
         self.prev_emitted_ref = self.last_emitted_ref
         self.prev_emitted_text = self.last_emitted_text
+        self.prev_emitted_msg = self.last_emitted_msg
         self.last_emitted_msg = msg
         self.last_emitted_ref = ref
         self.last_emitted_text = verse["text_clean"]
@@ -1717,8 +1761,10 @@ class RecitationTracker:
         self.pre_advance_snapshot = {
             "emitted_ref": self.last_emitted_ref,
             "emitted_text": self.last_emitted_text,
+            "emitted_msg": self.last_emitted_msg,
             "prev_emitted_ref": self.prev_emitted_ref,
             "prev_emitted_text": self.prev_emitted_text,
+            "prev_emitted_msg": self.prev_emitted_msg,
             "commit_evidence": self.last_commit_evidence,
         }
         self.pending_emission_message = self._verse_match_message(next_verse, 0.99)
@@ -1739,6 +1785,7 @@ class RecitationTracker:
 
         self.prev_emitted_ref = current_ref
         self.prev_emitted_text = self.last_emitted_text
+        self.prev_emitted_msg = self.last_emitted_msg
         self.last_emitted_ref = (next_verse["surah"], next_verse["ayah"])
         self.last_emitted_text = next_verse["text_clean"]
         self.last_emitted_msg = self.pending_emission_message
@@ -1871,8 +1918,15 @@ class RecitationTracker:
             snap = self.pre_advance_snapshot
             self.last_emitted_ref = snap["emitted_ref"]
             self.last_emitted_text = snap["emitted_text"]
+            # Restore the message too: after a dropped pending emission
+            # last_emitted_msg otherwise keeps describing the
+            # never-confirmed NEXT verse, so the span-remainder dedup and
+            # _strip_residual_prefix guard compute emitted_end one ayah
+            # too far (ADVICE r2).
+            self.last_emitted_msg = snap["emitted_msg"]
             self.prev_emitted_ref = snap["prev_emitted_ref"]
             self.prev_emitted_text = snap["prev_emitted_text"]
+            self.prev_emitted_msg = snap["prev_emitted_msg"]
             self.last_commit_evidence = snap["commit_evidence"]
             self.consecutive_auto_advances = 0
             self._diag(type="pending_emission", action="dropped",
@@ -1917,7 +1971,10 @@ class RecitationTracker:
         retracted = self.last_emitted_msg
         self.last_emitted_ref = self.prev_emitted_ref
         self.last_emitted_text = self.prev_emitted_text
-        self.last_emitted_msg = None
+        # Restore the PREVIOUS verse's message so emitted_end-based
+        # consumers (span-remainder dedup, residual-prefix guard) describe
+        # the verse last_emitted_ref now points to (ADVICE r2).
+        self.last_emitted_msg = self.prev_emitted_msg
         self.last_commit_evidence = None
         self._diag(
             type="rollback", reason=reason,

@@ -102,23 +102,69 @@ BUCKETS: list[tuple[float, int]] = [
 ]
 
 
-def _augment(audio: np.ndarray, rng: np.random.Generator, pad: int) -> np.ndarray:
+def _augment(
+    audio: np.ndarray, rng: np.random.Generator, pad: int,
+    strength: str = "base",
+) -> np.ndarray:
     """Speed perturb (0.9x-1.1x), gain, light noise — the reference trains
     with NeMo speed perturbation and tests with 0.9/1.0/1.1 TTA
-    (reference: experiments/c2c-direct-mixed-tta/run.py:60-71)."""
+    (reference: experiments/c2c-direct-mixed-tta/run.py:60-71).
+
+    strength="strong" adds channel/speaker simulation for the held-out
+    campaign (the corpus has a handful of reciters/recording chains; the
+    reference's speaker invariance comes from 126K utterances the
+    zero-egress environment cannot fetch — train_fastconformer_phoneme_
+    modal.py:330-816): wider resampling (pitch+tempo), random biquad-ish
+    EQ tilt, synthetic room reverb, soft clipping, and noise at real SNRs.
+    """
     from tilawa_tpu.data.audio import speed_perturb
 
-    if rng.random() < 0.5:
-        factor = float(rng.uniform(0.9, 1.1))
+    strong = strength == "strong"
+    if rng.random() < (0.7 if strong else 0.5):
+        lo, hi = (0.85, 1.18) if strong else (0.9, 1.1)
+        factor = float(rng.uniform(lo, hi))
         if len(audio) * factor < pad:
             audio = speed_perturb(audio, factor)
+    if strong:
+        if rng.random() < 0.5:
+            # spectral tilt / crude mic EQ: first-order filter
+            # y[t] = x[t] + b*x[t-1] with b in [-0.6, 0.6] (b<0 brightens,
+            # b>0 darkens), then a one-pole smoothing for low-pass moods
+            b = float(rng.uniform(-0.6, 0.6))
+            shifted = np.concatenate([audio[:1], audio[:-1]])
+            audio = (audio + b * shifted) / (1.0 + abs(b))
+        if rng.random() < 0.35:
+            # synthetic room: exponential-decay noise IR, 60-250 ms
+            ir_len = int(rng.uniform(0.06, 0.25) * 16000)
+            t = np.arange(ir_len, dtype=np.float32)
+            ir = rng.normal(size=ir_len).astype(np.float32) * np.exp(
+                -t / (ir_len * float(rng.uniform(0.15, 0.4)))
+            )
+            ir[0] = 1.0
+            wet = float(rng.uniform(0.1, 0.4))
+            import scipy.signal as _sig
+
+            rev = _sig.fftconvolve(audio, ir)[: len(audio)].astype(np.float32)
+            peak = float(np.abs(rev).max() + 1e-8)
+            audio = (1 - wet) * audio + wet * rev * (
+                float(np.abs(audio).max() + 1e-8) / peak
+            )
+        if rng.random() < 0.25:
+            # soft clip (cheap codec/input-stage distortion)
+            drive = float(rng.uniform(1.5, 4.0))
+            audio = np.tanh(audio * drive) / drive
     gain = float(rng.uniform(0.7, 1.3))
     audio = audio * gain
-    if rng.random() < 0.3:
+    noise_p = 0.6 if strong else 0.3
+    if rng.random() < noise_p:
         rms = float(np.sqrt((audio**2).mean()) + 1e-8)
-        audio = audio + rng.normal(
-            scale=0.02 * rms, size=audio.shape
-        ).astype(np.float32)
+        scale = (
+            rms * 10 ** (-float(rng.uniform(10, 30)) / 20)  # SNR 10-30 dB
+            if strong else 0.02 * rms
+        )
+        audio = audio + rng.normal(scale=scale, size=audio.shape).astype(
+            np.float32
+        )
     return np.clip(audio, -1.0, 1.0).astype(np.float32)
 
 
@@ -219,6 +265,7 @@ def bucketed_corpus_batches(
     only_ids: set[str] | None = None,
     rehearsal: float = 0.25,
     crop_prob: float = 0.0,
+    aug_strength: str = "base",
 ):
     """Infinite iterator over length-bucketed batches from several corpora.
 
@@ -298,7 +345,7 @@ def bucketed_corpus_batches(
             if spans is not None and len(spans) and rng.random() < crop_prob:
                 a, ids = random_window_crop(a, ids, spans, rng, max_len=pad)
             if augment:
-                a = _augment(a, rng, pad)
+                a = _augment(a, rng, pad, strength=aug_strength)
             chunk.append((a, ids))
         while len(chunk) < bs:  # fixed batch dim per bucket
             chunk.append(chunk[len(chunk) % max(1, len(picks))])

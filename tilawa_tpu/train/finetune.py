@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--corpora", default="v1,v2,v3")
+    parser.add_argument(
+        "--aug-strength", default="base", choices=["base", "strong"],
+        help="'strong' adds channel/speaker simulation (EQ tilt, synthetic "
+             "reverb, soft clip, 10-30 dB SNR noise, wider resample) — the "
+             "held-out generalization recipe",
+    )
+    parser.add_argument("--weighting", default="prop",
+                        choices=["prop", "sqrt", "uniform"])
     parser.add_argument("--init", default="exports/champion-int4")
     parser.add_argument("--checkpoint-dir", default="checkpoints/stream2")
     parser.add_argument("--checkpoint-every", type=int, default=250)
@@ -73,6 +81,8 @@ def main(argv=None) -> int:
         corpora=tuple(args.corpora.split(",")),
         seed=args.seed,
         crop_prob=args.crop_prob,
+        aug_strength=args.aug_strength,
+        weighting=args.weighting,
     )
     train(
         config,
