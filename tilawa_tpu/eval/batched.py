@@ -30,11 +30,20 @@ def batched_corpus_eval(
     device-resident log-probs (rerank dispatches still batch internally).
     """
     from tilawa_tpu.eval.metrics import predict_to_emissions, score_sequence
+    from tilawa_tpu.pipeline.runtime import LONG_THRESHOLD
 
     runtime = recognizer.runtime
     groups: dict[int, list[int]] = defaultdict(list)
+    long_idxs: list[int] = []
     for i, (_sid, audio, _exp) in enumerate(audios):
-        groups[bucket_length(len(audio))].append(i)
+        if len(audio) > LONG_THRESHOLD:
+            # Long clips take the chunked stitched forward — itself a
+            # [K, LONG_CHUNK] batched dispatch; grouping them into the
+            # old 512000+ single-clip buckets would re-introduce the
+            # worst-case compiles (BENCH_r02: 75 s for the 1024000 bucket).
+            long_idxs.append(i)
+        else:
+            groups[bucket_length(len(audio))].append(i)
 
     # Warmup: compile one program per bucket before the timed pass (the
     # reference excludes warmup too, benchmark/runner.py:271-280). Short
@@ -44,9 +53,14 @@ def batched_corpus_eval(
         runtime.forward_batch(
             [np.zeros(bucket, np.float32)] * min(batch_size, max(len(idxs), 1))
         )
+    for i in long_idxs:
+        k = runtime.chunk_count(len(audios[i][1]))
+        if k not in runtime._long_programs:
+            runtime.forward_long(np.zeros(len(audios[i][1]), np.float32))
 
     predictions: dict[int, dict] = {}
     total_audio_s = 0.0
+    forward_s = 0.0
     t0 = time.perf_counter()
     for bucket, idxs in sorted(groups.items()):
         full = min(batch_size, len(idxs))
@@ -55,7 +69,9 @@ def batched_corpus_eval(
             waves = [audios[i][1] for i in chunk]
             while len(waves) < full:  # pad ragged tail to the bucket program
                 waves.append(np.zeros(bucket, np.float32))
+            tf = time.perf_counter()
             lps, t_valids, ids_b = runtime.forward_batch(waves)
+            forward_s += time.perf_counter() - tf
             for j, i in enumerate(chunk):
                 t_valid = int(t_valids[j])
                 transcript = recognizer.decode_ids(ids_b[j, :t_valid])
@@ -63,6 +79,14 @@ def batched_corpus_eval(
                     lps[j], t_valid, transcript
                 )
                 total_audio_s += len(audios[i][1]) / 16000.0
+    for i in long_idxs:
+        tf = time.perf_counter()
+        lp, ids, t_valid = runtime.forward_long(audios[i][1])
+        forward_s += time.perf_counter() - tf
+        predictions[i] = recognizer._predict_from_logprobs(
+            lp, t_valid, recognizer.decode_ids(ids)
+        )
+        total_audio_s += len(audios[i][1]) / 16000.0
     wall = time.perf_counter() - t0
 
     scores = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
@@ -75,6 +99,7 @@ def batched_corpus_eval(
     return {
         "n": n,
         "wall_s": round(wall, 3),
+        "forward_s": round(forward_s, 3),
         "audio_s": round(total_audio_s, 1),
         "audio_sec_per_sec": round(total_audio_s / wall, 2) if wall else None,
         "recall": round(scores["recall"] / n, 4) if n else None,

@@ -42,12 +42,20 @@ CHUNK_SECONDS = 0.3          # validate-streaming.ts chunk cadence
 TAIL_SILENCE_SECONDS = 4.0   # TAIL_SILENCE_SECONDS, validate-streaming.ts:31
 
 
+def _pct(values: list[float], q: float) -> float:
+    if not values:
+        return 0.0
+    vals = sorted(values)
+    return round(vals[min(len(vals) - 1, int(q * (len(vals) - 1)))], 4)
+
+
 def replay_sample(
     tracker: RecitationTracker,
     audio: np.ndarray,
     chunk_seconds: float = CHUNK_SECONDS,
     tail_silence: float = TAIL_SILENCE_SECONDS,
     on_chunk=None,
+    feed_times: list[float] | None = None,
 ) -> list[dict]:
     """Feed one clip chunk-by-chunk plus a silence tail; return every
     message the tracker emitted. `on_chunk(fed_samples)` fires before each
@@ -63,7 +71,10 @@ def replay_sample(
         end = min(i + chunk, len(padded))
         if on_chunk is not None:
             on_chunk(end)
+        t0 = time.perf_counter()
         messages.extend(tracker.feed(padded[i:end]))
+        if feed_times is not None:
+            feed_times.append(time.perf_counter() - t0)
     return messages
 
 
@@ -129,6 +140,7 @@ def run_validation(
     viterbi_totals = dict(totals)
     exact_set_total = 0.0
     latencies: list[float] = []
+    feed_times: list[float] = []
     per_sample: list[dict] = []
     skipped = 0
     total_audio_s = 0.0
@@ -159,7 +171,10 @@ def run_validation(
             sample_transcribe, db=db, token_store=token_store, config=config
         )
         t0 = time.perf_counter()
-        messages = replay_sample(tracker, audio, chunk_seconds, on_chunk=on_chunk)
+        messages = replay_sample(
+            tracker, audio, chunk_seconds, on_chunk=on_chunk,
+            feed_times=feed_times,
+        )
         elapsed = time.perf_counter() - t0
         latencies.append(elapsed)
         total_audio_s += len(audio) / SAMPLE_RATE
@@ -205,6 +220,17 @@ def run_validation(
         "p50_latency": sorted(latencies)[n // 2] if n else 0.0,
         "p90_latency": sorted(latencies)[int(0.9 * (n - 1))] if n else 0.0,
         "audio_sec_per_sec": total_audio_s / wall if wall else 0.0,
+        # Real-time criterion: a feed cycle must finish inside the chunk
+        # cadence (VERDICT r2 #4; reference cycles 0.25-2 s live windows,
+        # tracker.ts:601). Decode cycles = feeds that actually hit the
+        # acoustic backend (>5 ms); the rest are buffer appends.
+        "cycle_p50": _pct(feed_times, 0.5),
+        "cycle_p90": _pct(feed_times, 0.9),
+        "decode_cycle_p50": _pct([t for t in feed_times if t > 0.005], 0.5),
+        "decode_cycle_p90": _pct([t for t in feed_times if t > 0.005], 0.9),
+        "realtime_ok": bool(
+            feed_times and _pct(feed_times, 0.9) < chunk_seconds
+        ),
         "model_size": getattr(transcribe, "model_size_bytes", 0),
         "per_sample": per_sample,
     }

@@ -448,3 +448,28 @@ class FastConformerCTC(nn.Module):
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def forward_flops(cfg: FastConformerConfig, audio_seconds: float) -> float:
+    """Analytic matmul FLOPs of one encoder forward over `audio_seconds`
+    of 16 kHz audio (multiply+add counted as 2). Used for the bench MFU
+    estimate against the v5e bf16 peak; conv-subsampling and the T^2
+    attention-score terms are included, elementwise/norm work is not
+    (negligible against the matmuls)."""
+    d = cfg.d_model
+    t_mel = audio_seconds * 100.0                    # 160-sample hop
+    t_enc = t_mel / cfg.subsampling_factor
+    ch = cfg.subsampling_channels
+    # dw-striding stages: pointwise-ish channel mixing at T/2, T/4, T/8
+    sub = 2 * (t_mel / 2 * 9 * cfg.n_mels * ch
+               + t_mel / 4 * 9 * ch * ch
+               + t_mel / 8 * 9 * ch * ch)
+    proj = 2 * t_enc * (ch * cfg.n_mels // cfg.subsampling_factor) * d
+    ff = 2 * 2 * (2 * d * cfg.ff_expansion * d)       # macaron pair / frame
+    attn_proj = 2 * 5 * d * d                         # q,k,v,pos,out / frame
+    conv = 2 * (d * 2 * d + cfg.conv_kernel * d + d * d)
+    per_frame = ff + attn_proj + conv
+    scores = 4 * t_enc * t_enc * d * cfg.num_layers   # qk^T + att*v
+    layers = cfg.num_layers * per_frame * t_enc + scores
+    head = 2 * t_enc * d * (cfg.vocab_size + 1)
+    return float(sub + proj + layers + head)

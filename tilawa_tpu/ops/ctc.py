@@ -179,8 +179,11 @@ def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
 # Bucket ladders are deliberately coarse: every distinct (T, C, L) triple is
 # one XLA program, and the tunneled-TPU environment cannot persist compiled
 # programs across processes — fewer shapes means a short warmup covers the
-# whole serving envelope.
-TOKEN_BUCKETS = (32, 128, 512)
+# whole serving envelope. The token ladder is 2 rungs (was 3): on the
+# tunneled backend a dispatch costs ~a network round trip, so one padded
+# L=128 pass beats three tight (32/128/512) passes — the extra lattice
+# work is MXU-cheap, the extra round trips are not (BENCH_r02 analysis).
+TOKEN_BUCKETS = (128, 512)
 CAND_BUCKETS = (512,)
 FRAME_BUCKETS = (512, 1024, 2048, 4096)
 

@@ -189,7 +189,20 @@ class Recognizer:
         t_tta = time.perf_counter()
         # Hard sample: batched 2-way perturbed pass (one dispatch).
         perturbed = [speed_perturb(audio, f) for f in TTA_FACTORS]
-        if device_path:
+        from tilawa_tpu.pipeline.runtime import LONG_THRESHOLD
+
+        if device_path and max(len(p) for p in perturbed) > LONG_THRESHOLD:
+            # Long clip: each perturbed variant takes the chunked stitched
+            # forward (2 dispatches — rare path, keeps buckets <= 16 s).
+            preds = []
+            for p in perturbed:
+                lp_p, ids_p, tv_p = self.runtime.forward(p)
+                preds.append(
+                    self._predict_from_logprobs(
+                        lp_p, tv_p, self.decode_ids(ids_p)
+                    )
+                )
+        elif device_path:
             lps, t_valids, ids_b = self.runtime.forward_batch(perturbed)
             preds = [
                 self._predict_from_logprobs(
@@ -246,20 +259,47 @@ class Recognizer:
     LONG_OVERLAP_S = 1.0
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
-        if len(audio) > self.LONG_CHUNK_S * 16000:
-            return self._transcribe_long(audio)
         if hasattr(self.runtime, "forward"):
+            # forward() chunk-stitches long clips in-graph, so the decode
+            # is over one coherent log-prob sequence (strictly better than
+            # the per-chunk text concatenation the non-device path uses).
             _lp, ids, _t = self.runtime.forward(audio)
             return self.decode_ids(ids)
+        if len(audio) > self.LONG_CHUNK_S * 16000:
+            return self._transcribe_long(audio)
         lp, t_valid = self.runtime.log_probs(audio)
         return self.greedy_decode(lp, t_valid)
 
     def transcribe_result(self, audio: np.ndarray):
         """Full acoustic decode for the streaming tracker: normalized text
-        + collapsed token ids + device log-probs (fuels the tracker's CTC
-        candidate fusion; reference: worker/inference.ts transcribe() →
-        tracker acoustic scoring)."""
+        + collapsed token ids + DEVICE-RESIDENT log-probs (fuels the
+        tracker's CTC candidate fusion; reference: worker/inference.ts
+        transcribe() → tracker acoustic scoring).
+
+        Device runtimes route through a StreamingEncoderCache: windows past
+        16 s re-forward only the growing tail chunk per cycle (content-
+        addressed chunk cache + on-device stitch) and only argmax ids cross
+        the host boundary — the [T, 1025] log-probs stay on the TPU for
+        the fusion scorer, which accepts device arrays."""
         from tilawa_tpu.streaming.tracker import TranscribeResult
+
+        if hasattr(self.runtime, "forward"):
+            if getattr(self, "_stream_cache", None) is None:
+                from tilawa_tpu.pipeline.runtime import StreamingEncoderCache
+
+                self._stream_cache = StreamingEncoderCache(self.runtime)
+            lp, ids, t_valid = self._stream_cache.forward(audio)
+            deduped = collapse_ctc(ids, self.runtime.blank_id)
+            text = (
+                normalize_arabic(self.tokenizer.decode(deduped).strip())
+                if deduped else ""
+            )
+            return TranscribeResult(
+                text=text,
+                token_ids=list(deduped),
+                log_probs=lp,
+                t_valid=int(t_valid),
+            )
 
         lp, t_valid = self.runtime.log_probs(audio)
         ids = np.asarray(lp[:t_valid]).argmax(axis=-1)

@@ -33,7 +33,10 @@ def span_len(c: dict) -> int:
 
 
 # Bound on the [T, C, L] emission-gather buffer per dispatch (float32).
-_MAX_GATHER_BYTES = int(os.getenv("TILAWA_RERANK_GATHER_BYTES", str(256 << 20)))
+# 768 MB of 16 GB v5e HBM: lets a full C=512 candidate set score in ONE
+# dispatch at T=1024/L=128 (the stitched-long-clip shape) — dispatch
+# count, not lattice FLOPs, is the latency term on the tunneled backend.
+_MAX_GATHER_BYTES = int(os.getenv("TILAWA_RERANK_GATHER_BYTES", str(768 << 20)))
 
 
 def _cand_bucket_for(t_frames: int, l_pad: int) -> int:

@@ -33,6 +33,21 @@ from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCT
 # tunneled backend — fewer buckets keeps warmup practical.
 AUDIO_BUCKETS = (64000, 128000, 256000, 512000, 1024000, 1920000)
 
+# Long-clip chunking (forward path): clips past LONG_THRESHOLD run as ONE
+# batched [K, LONG_CHUNK] dispatch of overlapping windows whose log-probs
+# are stitched in-graph (half the overlap trimmed from each side of every
+# junction). Kills the 512000+ single-clip buckets — the 1024000 bucket
+# alone cost 75 s of warm-up compile per bench process (BENCH_r02) — and
+# keeps self-attention quadratic in 16 s, not 64 s. The reference applies
+# the same policy at 25 s/1 s for its O(T^2) path
+# (reference: EXPERIMENTS.md:245 w2v-phonemes chunking; SURVEY.md §5.7).
+LONG_CHUNK = 256000        # 16 s
+LONG_OVERLAP = 16000       # 1 s
+LONG_STEP = LONG_CHUNK - LONG_OVERLAP
+LONG_THRESHOLD = LONG_CHUNK
+# enc frames to trim per junction side: ~12.5 overlap frames / 2
+_JUNCTION_TRIM = 6
+
 
 def bucket_length(n: int, buckets: tuple[int, ...] = AUDIO_BUCKETS) -> int:
     for b in buckets:
@@ -93,6 +108,77 @@ class EncoderRuntime:
             return lp, enc_lens, ids
 
         self._apply_decode = jax.jit(apply_decode)
+        self._long_programs: dict[int, object] = {}
+
+    def _long_program(self, k: int):
+        """Jitted K-chunk stitched forward (one program per chunk count)."""
+        fn = self._long_programs.get(k)
+        if fn is not None:
+            return fn
+        from tilawa_tpu.ops.ctc import FRAME_BUCKETS, _next_bucket
+
+        trim = _JUNCTION_TRIM
+
+        def apply_long(variables, audio, last_len):
+            # audio [K, LONG_CHUNK]; last_len: true samples in final chunk
+            lengths = jnp.full((k,), LONG_CHUNK, jnp.int32).at[k - 1].set(
+                last_len
+            )
+            lp, enc_lens = self.model.apply(
+                variables, audio, lengths,
+                deterministic=True, use_running_average=True,
+            )
+            tc = lp.shape[1]
+            parts = [lp[0, : tc - trim]]
+            for i in range(1, k - 1):
+                parts.append(lp[i, trim : tc - trim])
+            parts.append(lp[k - 1, trim:])
+            out = jnp.concatenate(parts, axis=0)
+            t_total = out.shape[0]
+            t_pad = _next_bucket(t_total, FRAME_BUCKETS)
+            if t_pad != t_total:
+                out = jnp.pad(out, ((0, t_pad - t_total), (0, 0)))
+            t_valid = (
+                (tc - trim)
+                + (k - 2) * (tc - 2 * trim)
+                + jnp.maximum(enc_lens[k - 1] - trim, 0)
+            )
+            ids = jnp.argmax(out, axis=-1).astype(jnp.int32)
+            return out, jnp.minimum(t_valid, t_total), ids
+
+        fn = jax.jit(apply_long)
+        self._long_programs[k] = fn
+        return fn
+
+    @staticmethod
+    def chunk_count(n_samples: int) -> int:
+        """Number of LONG_CHUNK windows covering n_samples (>= 2 when the
+        clip exceeds LONG_THRESHOLD)."""
+        if n_samples <= LONG_THRESHOLD:
+            return 1
+        k = 1
+        while (k - 1) * LONG_STEP + LONG_CHUNK < n_samples:
+            k += 1
+        return k
+
+    def forward_long(self, audio: np.ndarray):
+        """Chunked forward for clips > LONG_THRESHOLD: one [K, LONG_CHUNK]
+        dispatch, junction-trimmed stitch on device. Same contract as
+        forward(): (lp_device [T_pad, V], ids np [t_valid], t_valid)."""
+        n = len(audio)
+        k = self.chunk_count(n)
+        batch = np.zeros((k, LONG_CHUNK), dtype=np.float32)
+        last_len = 0
+        for i in range(k):
+            start = i * LONG_STEP
+            piece = audio[start : start + LONG_CHUNK]
+            batch[i, : len(piece)] = piece
+            last_len = len(piece)
+        lp, t_valid, ids = self._long_program(k)(
+            self.variables, jnp.asarray(batch), jnp.int32(last_len)
+        )
+        t_valid = int(t_valid)
+        return lp, np.asarray(ids)[:t_valid], t_valid
 
     @property
     def blank_id(self) -> int:
@@ -123,7 +209,10 @@ class EncoderRuntime:
     def forward(self, audio: np.ndarray):
         """[N] waveform → (lp_device [T_bucket, V] jax.Array still on the
         device, ids [T_enc] np.int32, t_valid int). Only ids/lengths cross
-        the host boundary; feed lp_device straight to the rerank."""
+        the host boundary; feed lp_device straight to the rerank. Clips
+        past LONG_THRESHOLD route through the chunked stitched forward."""
+        if len(audio) > LONG_THRESHOLD:
+            return self.forward_long(audio)
         lp, lens, ids = self.forward_batch([audio])
         t_valid = int(lens[0])
         return lp[0], ids[0, :t_valid], t_valid
@@ -146,6 +235,129 @@ class EncoderRuntime:
     def warmup(self, bucket_samples: tuple[int, ...] = (64000, 128000, 256000)):
         for n in bucket_samples:
             self.forward(np.zeros(n, dtype=np.float32))
+
+
+class StreamingEncoderCache:
+    """Content-addressed per-chunk encoder cache for rolling windows.
+
+    The streaming tracker re-forwards its WHOLE discovery window every
+    0.25-2 s; past the 16 s chunk threshold, most of that window is
+    byte-identical to the previous cycle (new audio only appends; the head
+    only moves on a commit trim). Keying each full LONG_CHUNK chunk by its
+    content hash makes every cycle cost: one [1, LONG_CHUNK] forward for
+    the growing tail + one stitch dispatch — constant per cycle instead of
+    O(window). This is SURVEY §7 Phase 3's \"cache encoder prefixes\"
+    headline win; the reference pays the full-window ONNX re-forward every
+    cycle (reference: web/frontend/src/lib/tracker.ts:601, 1033).
+
+    Numerics match forward_long exactly: chunks are normalized per-chunk
+    in both paths (per-utterance mel stats are per batch row), and the
+    stitch applies the same junction trim.
+    """
+
+    MAX_ENTRIES = 24
+
+    def __init__(self, runtime: "EncoderRuntime"):
+        self.runtime = runtime
+        self._cache: dict[bytes, object] = {}   # chunk sha1 -> lp [Tc, V] device
+        self._stitch_programs: dict[int, object] = {}
+        self.hits = 0
+        self.misses = 0
+
+    def _stitch(self, k: int):
+        fn = self._stitch_programs.get(k)
+        if fn is not None:
+            return fn
+        import jax
+
+        from tilawa_tpu.ops.ctc import FRAME_BUCKETS, _next_bucket
+
+        trim = _JUNCTION_TRIM
+
+        def stitch(chunks, last_enc_len):
+            # chunks: K arrays [Tc, V]; last one padded like the rest
+            tc = chunks[0].shape[0]
+            parts = [chunks[0][: tc - trim]]
+            for i in range(1, k - 1):
+                parts.append(chunks[i][trim : tc - trim])
+            parts.append(chunks[k - 1][trim:])
+            out = jnp.concatenate(parts, axis=0)
+            t_total = out.shape[0]
+            t_pad = _next_bucket(t_total, FRAME_BUCKETS)
+            if t_pad != t_total:
+                out = jnp.pad(out, ((0, t_pad - t_total), (0, 0)))
+            t_valid = (
+                (tc - trim)
+                + (k - 2) * (tc - 2 * trim)
+                + jnp.maximum(last_enc_len - trim, 0)
+            )
+            ids = jnp.argmax(out, axis=-1).astype(jnp.int32)
+            return out, jnp.minimum(t_valid, t_total), ids
+
+        fn = jax.jit(stitch)
+        self._stitch_programs[k] = fn
+        return fn
+
+    def forward(self, audio: np.ndarray):
+        """Same contract as EncoderRuntime.forward, with chunk caching."""
+        rt = self.runtime
+        n = len(audio)
+        if n <= LONG_THRESHOLD:
+            return rt.forward(audio)
+        k = rt.chunk_count(n)
+
+        chunk_lps: list[object] = []
+        to_run: list[tuple[int, bytes, np.ndarray]] = []
+        for i in range(k):
+            start = i * LONG_STEP
+            piece = audio[start : start + LONG_CHUNK]
+            if i < k - 1:
+                key = _chunk_key(piece)
+                hit = self._cache.get(key)
+                if hit is not None:
+                    self.hits += 1
+                    chunk_lps.append(hit)
+                else:
+                    self.misses += 1
+                    chunk_lps.append(None)
+                    to_run.append((i, key, piece))
+            else:
+                chunk_lps.append(None)
+                to_run.append((i, b"", piece))
+
+        # Pad the miss batch to a {1,2,4,8} ladder: steady state is 1 (the
+        # growing tail chunk); cold windows/post-trim realignments compile
+        # at most 3 more [B, LONG_CHUNK] programs.
+        b_pad = 1
+        while b_pad < len(to_run):
+            b_pad *= 2
+        batch = np.zeros((b_pad, LONG_CHUNK), dtype=np.float32)
+        lengths = np.zeros(b_pad, dtype=np.int32)
+        for j, (_i, _key, piece) in enumerate(to_run):
+            batch[j, : len(piece)] = piece
+            lengths[j] = len(piece)
+        lp_new, enc_lens = rt._apply(
+            rt.variables, jnp.asarray(batch), jnp.asarray(lengths)
+        )
+        last_enc_len = None
+        for j, (i, key, _piece) in enumerate(to_run):
+            chunk_lps[i] = lp_new[j]
+            if i < k - 1:
+                self._cache[key] = lp_new[j]
+            else:
+                last_enc_len = enc_lens[j]
+        while len(self._cache) > self.MAX_ENTRIES:
+            self._cache.pop(next(iter(self._cache)))
+
+        lp, t_valid, ids = self._stitch(k)(chunk_lps, last_enc_len)
+        t_valid = int(t_valid)
+        return lp, np.asarray(ids)[:t_valid], t_valid
+
+
+def _chunk_key(piece: np.ndarray) -> bytes:
+    import hashlib
+
+    return hashlib.sha1(piece.tobytes()).digest()
 
 
 class OracleRuntime:

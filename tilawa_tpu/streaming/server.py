@@ -88,7 +88,10 @@ class RecitationServer:
                 if text == "status":
                     await sock.send_text(json.dumps(
                         {"type": "status", "ok": True, "engine": self.engine,
-                         "total_verses": self.db.total_verses}))
+                         "total_verses": self.db.total_verses,
+                         "model_size_bytes": getattr(
+                             self.transcribe, "model_size_bytes", 0),
+                         "weights": getattr(self.transcribe, "weights", "")}))
                     continue
                 try:
                     cmd = json.loads(text)
@@ -143,7 +146,14 @@ def _real_transcribe():
     else:
         runtime = EncoderRuntime(FastConformerConfig.large())
     recognizer = Recognizer(runtime)
-    return recognizer.transcribe_result
+    def fn(audio):
+        return recognizer.transcribe_result(audio)
+
+    # surfaced in the WS/REST status payloads (the browser's analogue of
+    # the reference's model-cache progress display, model-cache.ts:38-70)
+    fn.model_size_bytes = recognizer.model_size()
+    fn.weights = str(ckpt) if ckpt else "random-init"
+    return fn
 
 
 async def _amain(host: str, port: int, backend: str, engine: str):
