@@ -119,6 +119,8 @@ class OracleExperiment:
     only their manifest entries matter.
     """
 
+    acoustics = "oracle"  # simulation marker, carried into results rows
+
     def __init__(self, error_rate: float = 0.0, noise: float = 0.3, seed: int = 0):
         from tilawa_tpu.data.quran import QuranDB
         from tilawa_tpu.data.token_store import TokenStore
@@ -227,6 +229,8 @@ class PhonemeExperiment:
     """Phoneme pipeline over synthetic phoneme acoustics (reference:
     experiments/fastconformer-phoneme/run.py — 69-token CTC head +
     mispronunciation detection; trained weights pending)."""
+
+    acoustics = "oracle"  # simulation marker, carried into results rows
 
     def __init__(self):
         from tilawa_tpu.pipeline.phoneme import PhonemeOracleRuntime, PhonemePipeline

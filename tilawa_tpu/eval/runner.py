@@ -181,6 +181,11 @@ def run_experiment(
         "p50_latency": _percentile(latencies, 0.5),
         "p90_latency": _percentile(latencies, 0.9),
         "model_size": size,
+        # Simulation honesty: rows produced by synthetic acoustic backends
+        # must be distinguishable from real-model rows in every artifact
+        # (VERDICT r2 weak #8: an oracle-backed row was indistinguishable
+        # from a trained-model result).
+        "acoustics": getattr(pipeline, "acoustics", "real"),
         "per_sample": per_sample,
     }
 
@@ -218,7 +223,10 @@ def save_results(
             for k in (
                 "name", "recall", "precision", "sequence_accuracy", "total",
                 "total_manifest", "avg_latency", "p50_latency", "p90_latency",
-                "model_size",
+                "model_size", "acoustics", "viterbi_sequence_accuracy",
+                "exact_set_accuracy", "audio_sec_per_sec", "cycle_p50",
+                "cycle_p90", "decode_cycle_p50", "decode_cycle_p90",
+                "realtime_ok",
             )
             if k in r
         }
