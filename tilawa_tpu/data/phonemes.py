@@ -55,6 +55,45 @@ class PhonemeStore:
 
     # ------------------------------------------------------------- lookups
 
+    def encode_phonemes(self, phonemes: str) -> list[int]:
+        """Space-separated phoneme string → vocab ids (unknown tokens are
+        dropped). Inverse of decode_ids; used to build CTC training targets
+        for the phoneme head (reference trains on exactly these strings:
+        scripts/train_fastconformer_phoneme_modal.py _PhonemeTokenizer)."""
+        if not hasattr(self, "_inv"):
+            self._inv = {tok: i for i, tok in enumerate(self.vocab) if tok}
+        return [
+            self._inv[tok] for tok in phonemes.split() if tok in self._inv
+        ]
+
+    def verse_ids(self, surah: int, ayah: int, ayah_end: int | None = None) -> list[int]:
+        return self.encode_phonemes(self.reference_phonemes(surah, ayah, ayah_end))
+
+    def match_verse(self, predicted_phonemes: str, top_k: int = 5) -> list[dict]:
+        """Fuzzy verse retrieval in phoneme space: batched edit-ratio scan
+        of the predicted string against all 6,236 verse phoneme strings
+        (reference: experiments/w2v-phonemes/run.py Levenshtein over
+        quran_phonemes.json). Returns [{surah, ayah, score}] best-first."""
+        import numpy as np
+
+        from tilawa_tpu.text.levenshtein import Corpus
+
+        if not predicted_phonemes.strip():
+            return []
+        if not hasattr(self, "_corpus"):
+            self._keys = sorted(self.refs)
+            self._corpus = Corpus([self.refs[k] for k in self._keys])
+        scores = self._corpus.batch_ratio(predicted_phonemes)
+        order = np.argsort(-scores, kind="stable")[:top_k]
+        return [
+            {
+                "surah": self._keys[i][0],
+                "ayah": self._keys[i][1],
+                "score": float(scores[i]),
+            }
+            for i in order
+        ]
+
     def reference_phonemes(self, surah: int, ayah: int, ayah_end: int | None = None) -> str:
         """Per-verse reference string; spans join verse strings with `|`."""
         if ayah_end is None or ayah_end <= ayah:

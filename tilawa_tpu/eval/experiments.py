@@ -110,6 +110,36 @@ def _ctc_alignment():
     return _make_recognizer(tta=False, rerank_mode="always")
 
 
+_REFS_BY_FILE: dict[str, list[tuple[int, int, int | None]]] = {}
+
+
+def manifest_refs_for(path: str) -> list[tuple[int, int, int | None]]:
+    """Ground-truth verse refs for a corpus audio file (any corpus),
+    resolved from the manifests; used by oracle-acoustics experiments."""
+    fname = Path(path).name
+    if not _REFS_BY_FILE:
+        from tilawa_tpu.eval.runner import CORPUS_DIRS
+
+        for key in ("v1", "v2", "v3"):
+            mpath = CORPUS_DIRS[key] / "manifest.json"
+            if not mpath.exists():
+                continue
+            with open(mpath, encoding="utf-8") as f:
+                data = json.load(f)
+            for s in data["samples"] if isinstance(data, dict) else data:
+                refs = [
+                    (e["surah"], e["ayah"], None)
+                    for e in s.get(
+                        "expected_verses",
+                        [{"surah": s["surah"], "ayah": s["ayah"]}],
+                    )
+                ]
+                _REFS_BY_FILE.setdefault(s["file"], refs)
+    if fname not in _REFS_BY_FILE:
+        raise KeyError(f"no manifest entry for {fname}")
+    return _REFS_BY_FILE[fname]
+
+
 class OracleExperiment:
     """Champion decision stack over synthetic acoustics.
 
@@ -225,30 +255,85 @@ class LMFusionExperiment(OracleExperiment):
         return result
 
 
-class PhonemeExperiment:
-    """Phoneme pipeline over synthetic phoneme acoustics (reference:
-    experiments/fastconformer-phoneme/run.py — 69-token CTC head +
-    mispronunciation detection; trained weights pending)."""
+def _phoneme_checkpoint() -> Path | None:
+    env = os.getenv("TILAWA_PHONEME_CKPT")
+    if env:
+        return Path(env)
+    steps = sorted(Path("checkpoints/phoneme").glob("step_*"))
+    return steps[-1] if steps else None
 
-    acoustics = "oracle"  # simulation marker, carried into results rows
+
+class PhonemeExperiment:
+    """Phoneme pipeline (reference: experiments/fastconformer-phoneme/
+    run.py — 69-token CTC head + mispronunciation detection). Runs on the
+    trained phoneme head when checkpoints/phoneme exists
+    (tilawa_tpu.train.phoneme), else on synthetic phoneme acoustics with
+    an explicit acoustics='oracle' marker in every results row."""
 
     def __init__(self):
         from tilawa_tpu.pipeline.phoneme import PhonemeOracleRuntime, PhonemePipeline
 
-        self.runtime = PhonemeOracleRuntime(noise=0.3)
-        self.pipeline = PhonemePipeline(self.runtime, store=self.runtime.store)
+        ckpt = _phoneme_checkpoint()
+        if ckpt is not None:
+            from tilawa_tpu.data.phonemes import PhonemeStore
+            from tilawa_tpu.pipeline.runtime import EncoderRuntime
+            from tilawa_tpu.train.checkpoint import load_variables
+
+            config, variables = load_variables(ckpt)
+            self.runtime = EncoderRuntime(config, variables)
+            self.store = PhonemeStore.load_default()
+            self.acoustics = "real"
+        else:
+            self.runtime = PhonemeOracleRuntime(noise=0.3)
+            self.store = self.runtime.store
+            self.acoustics = "oracle"
+        self.pipeline = PhonemePipeline(self.runtime, store=self.store)
 
     def transcribe(self, path: str) -> str:
-        raise NotImplementedError(
-            "phoneme transcribe requires trained weights or oracle refs"
-        )
+        if self.acoustics == "oracle":
+            raise NotImplementedError(
+                "phoneme transcribe requires trained weights or oracle refs"
+            )
+        return self.pipeline.transcribe_phonemes(path)
+
+    def predict(self, path: str) -> dict:
+        """Phoneme decode → phoneme-space fuzzy retrieval (reference:
+        experiments/w2v-phonemes/run.py Levenshtein over
+        quran_phonemes.json)."""
+        if self.acoustics == "oracle":
+            # synthetic path: render corrupted phoneme log-probs for the
+            # sample's true refs (marked acoustics='oracle' in results)
+            surah, ayah, _ = manifest_refs_for(path)[0]
+            lp, t = self.runtime.render(surah, ayah)
+            phonemes = self.store.decode_logprobs(lp, t)
+        else:
+            phonemes = self.pipeline.transcribe_phonemes(path)
+        matches = self.store.match_verse(phonemes, top_k=5)
+        if not matches:
+            return {"surah": 0, "ayah": 0, "ayah_end": None, "score": 0.0,
+                    "transcript": phonemes}
+        best = matches[0]
+        return {
+            "surah": best["surah"], "ayah": best["ayah"], "ayah_end": None,
+            "score": best["score"], "transcript": phonemes,
+            "candidates": matches,
+        }
 
     def detect_mispronunciations(self, surah: int, ayah: int) -> dict:
-        lp, t = self.runtime.render(surah, ayah)
-        predicted = self.runtime.store.decode_logprobs(lp, t)
-        return self.runtime.store.detect_mispronunciations(predicted, surah, ayah)
+        if self.acoustics == "oracle":
+            lp, t = self.runtime.render(surah, ayah)
+            predicted = self.store.decode_logprobs(lp, t)
+            return self.store.detect_mispronunciations(predicted, surah, ayah)
+        raise NotImplementedError(
+            "use pipeline.detect_mispronunciations(audio_path, ...) with "
+            "real weights"
+        )
 
     def model_size(self) -> int:
+        if self.acoustics == "real":
+            from tilawa_tpu.train.quantize import packed_size_bytes
+
+            return packed_size_bytes(self.runtime.variables)
         return 0
 
 

@@ -1,0 +1,112 @@
+"""Offline HypothesisParams sweep over dumped Viterbi inputs.
+
+finalize() is a pure function of (cycles, committed, params), so the
+expensive part of tuning the final-sequence Viterbi — replaying every
+corpus clip through the tracker — only has to happen once per corpus:
+
+  TILAWA_DUMP_HYPOTHESIS=1 JAX_PLATFORMS=cpu \
+      python -m tilawa_tpu.eval.tracker_oracle --corpus v1 --out v1.json
+
+then sweeps re-score in milliseconds:
+
+  python -m tilawa_tpu.eval.hypothesis_sweep v1.json v2.json \
+      --param skip_scale --values 0.6,0.8,1.0,1.2
+
+(reference analogue: STREAMING_HYPOTHESIS_* env overrides on tracker.ts
+Viterbi constants, tracker.ts:453-481 — tuned there by full re-runs.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import itertools
+import json
+
+from tilawa_tpu.eval.metrics import score_sequence
+from tilawa_tpu.streaming.config import HypothesisParams
+from tilawa_tpu.streaming.tracker import StreamingHypothesis
+
+
+def load_dumps(paths: list[str]) -> list[dict]:
+    rows = []
+    for path in paths:
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        for s in data.get("per_sample", []):
+            if "hypothesis" in s:
+                rows.append(
+                    {
+                        "id": s["id"],
+                        "corpus": path,
+                        "expected": s["expected"],
+                        **s["hypothesis"],
+                    }
+                )
+    return rows
+
+
+def score_params(rows: list[dict], params: HypothesisParams) -> dict:
+    total = 0.0
+    n = 0
+    per_corpus: dict[str, list[float]] = {}
+    for r in rows:
+        h = StreamingHypothesis(params)
+        h.cycles = [list(c) for c in r["cycles"]]
+        h.committed = list(r["committed"])
+        out = h.finalize()
+        verses = out["verses"] if out else []
+        s = score_sequence(r["expected"], verses)["sequence_accuracy"]
+        total += s
+        n += 1
+        per_corpus.setdefault(r["corpus"], []).append(s)
+    return {
+        "mean_seq_acc": total / n if n else 0.0,
+        "n": n,
+        "per_corpus": {
+            k: round(sum(v) / len(v), 4) for k, v in per_corpus.items()
+        },
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description="offline Viterbi param sweep")
+    parser.add_argument("dumps", nargs="+", help="per-sample JSONs with hypothesis dumps")
+    parser.add_argument("--param", action="append", default=[],
+                        help="param name to sweep (repeatable)")
+    parser.add_argument("--values", action="append", default=[],
+                        help="comma-separated values, one per --param")
+    args = parser.parse_args(argv)
+
+    rows = load_dumps(args.dumps)
+    if not rows:
+        print("no hypothesis dumps found (set TILAWA_DUMP_HYPOTHESIS=1)")
+        return 1
+    print(f"{len(rows)} dumped samples from {len(args.dumps)} file(s)")
+
+    base = HypothesisParams()
+    print(f"base: {score_params(rows, base)}")
+    if not args.param:
+        return 0
+
+    grids = [
+        [float(v) for v in vals.split(",")] for vals in args.values
+    ]
+    best = None
+    for combo in itertools.product(*grids):
+        params = dataclasses.replace(
+            base, **dict(zip(args.param, combo))
+        )
+        result = score_params(rows, params)
+        label = ", ".join(
+            f"{p}={v}" for p, v in zip(args.param, combo)
+        )
+        print(f"{label}: {result}")
+        if best is None or result["mean_seq_acc"] > best[1]["mean_seq_acc"]:
+            best = (label, result)
+    print(f"BEST: {best[0]} -> {best[1]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -187,16 +188,23 @@ def run_validation(
             totals[k] += scores[k]
             viterbi_totals[k] += v_scores[k]
         exact_set_total += exact_set_accuracy(expected, emissions)
-        per_sample.append(
-            {
-                "id": s["id"],
-                "expected": expected,
-                "predicted": emissions,
-                "final_sequence": viterbi,
-                **scores,
-                "latency": elapsed,
+        row = {
+            "id": s["id"],
+            "expected": expected,
+            "predicted": emissions,
+            "final_sequence": viterbi,
+            **scores,
+            "latency": elapsed,
+        }
+        if os.getenv("TILAWA_DUMP_HYPOTHESIS"):
+            # Raw Viterbi inputs, for offline HypothesisParams sweeps
+            # (tilawa_tpu/eval/hypothesis_sweep.py) without re-running the
+            # tracker: finalize() is pure given (cycles, committed).
+            row["hypothesis"] = {
+                "cycles": tracker.hypothesis.cycles,
+                "committed": tracker.hypothesis.committed,
             }
-        )
+        per_sample.append(row)
         if verbose:
             got = [(e["surah"], e["ayah"]) for e in emissions]
             print(
