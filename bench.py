@@ -159,7 +159,7 @@ def main() -> None:
     tta_bucket = 0
     for _sid, audio, _exp in audios:
         n = len(audio)
-        if n > LONG_THRESHOLD:
+        if runtime.long_chunking and n > LONG_THRESHOLD:
             k = runtime.chunk_count(n)
             if k not in seen_k:
                 seen_k.add(k)
@@ -169,7 +169,10 @@ def main() -> None:
             if b not in seen_buckets:
                 seen_buckets.add(b)
                 warm_shapes.append((f"bucket {b}", ("single", b)))
-            tta_bucket = max(tta_bucket, b)
+            if n <= LONG_THRESHOLD:
+                # long-clip TTA runs sequentially on warm [1, b] programs;
+                # only short clips use the batched [2, b] TTA shape
+                tta_bucket = max(tta_bucket, b)
     if tta_bucket:
         warm_shapes.append((f"tta [2, {tta_bucket}]", ("tta", tta_bucket)))
 

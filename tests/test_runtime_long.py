@@ -24,7 +24,7 @@ from tilawa_tpu.pipeline.runtime import (
 
 @pytest.fixture(scope="module")
 def runtime():
-    return EncoderRuntime(FastConformerConfig.small(), seed=0)
+    return EncoderRuntime(FastConformerConfig.small(), seed=0, long_chunking=True)
 
 
 def test_chunk_count_boundaries():

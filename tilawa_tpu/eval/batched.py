@@ -35,12 +35,11 @@ def batched_corpus_eval(
     runtime = recognizer.runtime
     groups: dict[int, list[int]] = defaultdict(list)
     long_idxs: list[int] = []
+    use_chunking = getattr(runtime, "long_chunking", False)
     for i, (_sid, audio, _exp) in enumerate(audios):
-        if len(audio) > LONG_THRESHOLD:
-            # Long clips take the chunked stitched forward — itself a
-            # [K, LONG_CHUNK] batched dispatch; grouping them into the
-            # old 512000+ single-clip buckets would re-introduce the
-            # worst-case compiles (BENCH_r02: 75 s for the 1024000 bucket).
+        if use_chunking and len(audio) > LONG_THRESHOLD:
+            # Crop-trained models: long clips take the chunked stitched
+            # forward — itself a [K, LONG_CHUNK] batched dispatch.
             long_idxs.append(i)
         else:
             groups[bucket_length(len(audio))].append(i)

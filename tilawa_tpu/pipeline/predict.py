@@ -192,8 +192,9 @@ class Recognizer:
         from tilawa_tpu.pipeline.runtime import LONG_THRESHOLD
 
         if device_path and max(len(p) for p in perturbed) > LONG_THRESHOLD:
-            # Long clip: each perturbed variant takes the chunked stitched
-            # forward (2 dispatches — rare path, keeps buckets <= 16 s).
+            # Long clip: sequential per-variant forwards (2 dispatches on
+            # already-warm [1, bucket] programs — avoids compiling a rare
+            # [2, 512000+] TTA shape).
             preds = []
             for p in perturbed:
                 lp_p, ids_p, tv_p = self.runtime.forward(p)

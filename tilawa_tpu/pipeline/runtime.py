@@ -57,14 +57,26 @@ def bucket_length(n: int, buckets: tuple[int, ...] = AUDIO_BUCKETS) -> int:
 
 
 class EncoderRuntime:
-    """Jitted FastConformer forward with audio-length bucketing."""
+    """Jitted FastConformer forward with audio-length bucketing.
+
+    long_chunking=True routes clips past LONG_THRESHOLD through the
+    chunked stitched forward (forward_long). Default OFF for the batch
+    predict path: a model trained only on full utterances decodes partial
+    windows as garbage (measured on the champion: chunk0 of a 23 s clip
+    decodes to noise while the full clip is perfect — the same
+    memorization pathology behind the streaming campaign,
+    EXPERIMENTS.md context-sweep). Crop-trained checkpoints handle
+    chunks; the streaming path (StreamingEncoderCache) always chunks
+    because its windows are partial either way."""
 
     def __init__(
         self,
         config: FastConformerConfig | None = None,
         variables=None,
         seed: int = 0,
+        long_chunking: bool = False,
     ):
+        self.long_chunking = long_chunking
         self.config = config or FastConformerConfig.large()
         self.model = FastConformerCTC(self.config)
         if variables is None:
@@ -209,9 +221,10 @@ class EncoderRuntime:
     def forward(self, audio: np.ndarray):
         """[N] waveform → (lp_device [T_bucket, V] jax.Array still on the
         device, ids [T_enc] np.int32, t_valid int). Only ids/lengths cross
-        the host boundary; feed lp_device straight to the rerank. Clips
-        past LONG_THRESHOLD route through the chunked stitched forward."""
-        if len(audio) > LONG_THRESHOLD:
+        the host boundary; feed lp_device straight to the rerank. With
+        long_chunking, clips past LONG_THRESHOLD route through the
+        chunked stitched forward."""
+        if self.long_chunking and len(audio) > LONG_THRESHOLD:
             return self.forward_long(audio)
         lp, lens, ids = self.forward_batch([audio])
         t_valid = int(lens[0])
