@@ -16,10 +16,10 @@ JSON line even if an outer `timeout` fires first, and partial results carry
 
 Schedule (BENCH_r02 lesson — the batched metric starved at the end of the
 budget): device init → checkpoint (quantized to int4 if the source is fp)
-→ warm the per-clip programs (≤16 s buckets + chunked-long + TTA + rerank
-shapes; clips >16 s run as ONE [K, 256000] stitched dispatch, so the 75 s
-1024000-bucket warm-up of r02 no longer exists) → BATCHED corpus eval →
-per-clip timed loop.
+→ warm the per-clip programs (bucket forwards + TTA + rerank shapes; with
+a crop-trained checkpoint and long_chunking, >16 s clips instead run as
+ONE [K, 256000] stitched dispatch) → BATCHED corpus eval → per-clip
+timed loop.
 
 Prints ONE JSON line:
   {"metric": "p50_latency_s_per_clip_v1", "value": ..., "unit": "s",
@@ -73,7 +73,7 @@ def _emit() -> None:
 
 def main() -> None:
     from tilawa_tpu.data.audio import UnsupportedAudioFormat, load_audio
-    from tilawa_tpu.eval.metrics import predict_to_emissions, score_sequence
+    from tilawa_tpu.eval.metrics import best_emission_score, predict_to_emissions
     from tilawa_tpu.eval.runner import load_manifest
     from tilawa_tpu.models.fastconformer import FastConformerConfig, forward_flops
     from tilawa_tpu.pipeline.predict import Recognizer
@@ -141,7 +141,7 @@ def main() -> None:
         expected = s.get(
             "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]
         )
-        audios.append((s["id"], audio, expected))
+        audios.append((s["id"], audio, expected, s.get("also_accept")))
     OUT["n_total_manifest"] = len(samples)
     OUT["n_skipped_undecodable_or_absent"] = skipped
     # Short clips first: if the deadline cuts the run, the cheap buckets
@@ -157,7 +157,7 @@ def main() -> None:
     seen_buckets: set[int] = set()
     seen_k: set[int] = set()
     tta_bucket = 0
-    for _sid, audio, _exp in audios:
+    for _sid, audio, _exp, _alt in audios:
         n = len(audio)
         if runtime.long_chunking and n > LONG_THRESHOLD:
             k = runtime.chunk_count(n)
@@ -202,13 +202,17 @@ def main() -> None:
         _log(f"warm rerank lattice: {time.monotonic() - t:.1f}s")
 
     # ---- Batched corpus throughput FIRST (the r02 schedule starved it).
-    audio_s_total = sum(len(a) / 16000.0 for _s, a, _e in audios)
+    audio_s_total = sum(len(a) / 16000.0 for _s, a, _e, _alt in audios)
     if _left() > 60:
         _log("batched corpus eval")
         try:
             from tilawa_tpu.eval.batched import batched_corpus_eval
 
-            batched = batched_corpus_eval(recognizer, audios, batch_size=8)
+            batched = batched_corpus_eval(
+                recognizer,
+                [(sid, a, e) for sid, a, e, _alt in audios],
+                batch_size=8,
+            )
             OUT["audio_sec_per_sec_batched"] = batched["audio_sec_per_sec"]
             OUT["batched_recall"] = batched["recall"]
             if batched.get("forward_s"):
@@ -228,7 +232,7 @@ def main() -> None:
     total_audio_s = 0.0
     scores = {"recall": 0.0, "precision": 0.0, "sequence_accuracy": 0.0}
     n_done = 0
-    for sid, audio, expected in audios:
+    for sid, audio, expected, also_accept in audios:
         if _left() < 10:
             _log(f"budget: stopping timed loop after {n_done} clips")
             break
@@ -236,7 +240,9 @@ def main() -> None:
         result = recognizer.predict_audio(audio)
         latencies.append(time.perf_counter() - t0)
         total_audio_s += len(audio) / 16000.0
-        s = score_sequence(expected, predict_to_emissions(result))
+        s = best_emission_score(
+            expected, predict_to_emissions(result), also_accept
+        )
         for k in scores:
             scores[k] += s[k]
         n_done += 1

@@ -25,7 +25,11 @@ from datetime import datetime
 from pathlib import Path
 
 from tilawa_tpu.data.audio import UnsupportedAudioFormat
-from tilawa_tpu.eval.metrics import predict_to_emissions, score_sequence
+from tilawa_tpu.eval.metrics import (
+    best_emission_score,
+    predict_to_emissions,
+    score_sequence,
+)
 
 _REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
@@ -148,7 +152,9 @@ def run_experiment(
                 {"id": sample["id"], "status": "error", "why": str(e)}
             )
 
-        scores = score_sequence(expected, emissions)
+        scores = best_emission_score(
+            expected, emissions, sample.get("also_accept")
+        )
         for k in totals:
             totals[k] += scores[k]
         latencies.append(elapsed)

@@ -33,7 +33,11 @@ import numpy as np
 from tilawa_tpu.data.audio import UnsupportedAudioFormat, load_audio
 from tilawa_tpu.data.quran import QuranDB
 from tilawa_tpu.data.token_store import TokenStore
-from tilawa_tpu.eval.metrics import exact_set_accuracy, score_sequence
+from tilawa_tpu.eval.metrics import (
+    best_emission_score,
+    exact_set_accuracy,
+    score_sequence,
+)
 from tilawa_tpu.eval.runner import load_manifest, save_results
 from tilawa_tpu.streaming.config import STREAMING_PRESETS
 from tilawa_tpu.streaming.tracker import RecitationTracker
@@ -181,9 +185,12 @@ def run_validation(
         total_audio_s += len(audio) / SAMPLE_RATE
 
         emissions = emissions_from_messages(messages)
-        scores = score_sequence(expected, emissions)
+        also = s.get("also_accept")
+        scores = best_emission_score(expected, emissions, also)
         viterbi = final_sequence_from_messages(messages)
-        v_scores = score_sequence(expected, viterbi) if viterbi else scores
+        v_scores = (
+            best_emission_score(expected, viterbi, also) if viterbi else scores
+        )
         for k in totals:
             totals[k] += scores[k]
             viterbi_totals[k] += v_scores[k]
