@@ -175,6 +175,8 @@ def main(argv=None) -> int:
     parser.add_argument("--cut-mode", default="drop",
                         choices=["drop", "garble"])
     parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--ids", default=None,
+                        help="comma-separated sample ids to replay")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--verbose", action="store_true")
     parser.add_argument("--out", default=None,
@@ -193,6 +195,7 @@ def main(argv=None) -> int:
         chunk_seconds=args.chunk,
         preset=args.preset,
         limit=args.limit,
+        ids=set(args.ids.split(",")) if args.ids else None,
         db=QuranDB(),
         token_store=TokenStore.load_default(),
         verbose=args.verbose,

@@ -125,6 +125,7 @@ def run_validation(
     chunk_seconds: float = CHUNK_SECONDS,
     preset: str | None = None,
     limit: int | None = None,
+    ids: set[str] | None = None,
     db: QuranDB | None = None,
     token_store: TokenStore | None = None,
     verbose: bool = True,
@@ -134,6 +135,8 @@ def run_validation(
     samples, corpus_dir = load_manifest(corpus)
     if category:
         samples = [s for s in samples if s.get("category") == category]
+    if ids:
+        samples = [s for s in samples if s["id"] in ids]
     if limit:
         samples = samples[:limit]
 
@@ -207,7 +210,7 @@ def run_validation(
             # Raw Viterbi inputs, for offline HypothesisParams sweeps
             # (tilawa_tpu/eval/hypothesis_sweep.py) without re-running the
             # tracker: finalize() is pure given (cycles, committed).
-            row["hypothesis"] = {
+            row["hypothesis"] = tracker.last_hypothesis_snapshot or {
                 "cycles": tracker.hypothesis.cycles,
                 "committed": tracker.hypothesis.committed,
             }

@@ -415,6 +415,13 @@ class RecitationTracker:
         self.config = config or DEFAULT_STREAMING_CONFIG
         self.on_diagnostic = on_diagnostic
         self.hypothesis = StreamingHypothesis(hypothesis_params)
+        self.last_hypothesis_snapshot: dict | None = None
+        # (surah, ayah) of the last DROPPED deferred emission + the sample
+        # clock at the drop — fuels the gap-fill rule below
+        self.last_dropped_pending: tuple[tuple[int, int], int] | None = None
+        # deferred emission confirmed by its own completion during an
+        # exit-tracking transition; surfaced by the next feed() return
+        self.deferred_confirmed_on_exit: dict | None = None
 
         self._short_verse_cache: list[dict] | None = None
         self.reset()
@@ -500,6 +507,9 @@ class RecitationTracker:
             messages = self._handle_tracking(final_flush)
         else:
             messages = self._handle_discovery(final_flush)
+        if self.deferred_confirmed_on_exit is not None:
+            messages.insert(0, self.deferred_confirmed_on_exit)
+            self.deferred_confirmed_on_exit = None
 
         for m in messages:
             if m["type"] == "verse_candidate":
@@ -510,6 +520,13 @@ class RecitationTracker:
                 self.hypothesis.observe_rollback(m)
 
         if final_flush:
+            # Snapshot the Viterbi inputs before any utterance reset wipes
+            # them — offline HypothesisParams sweeps re-finalize from this
+            # (eval/hypothesis_sweep.py, TILAWA_DUMP_HYPOTHESIS).
+            self.last_hypothesis_snapshot = {
+                "cycles": [list(c) for c in self.hypothesis.cycles],
+                "committed": list(self.hypothesis.committed),
+            }
             final_seq = self.hypothesis.finalize()
             if final_seq:
                 messages.append(final_seq)
@@ -828,22 +845,37 @@ class RecitationTracker:
                         )
                         key = ref_key(s0, a0, effective.get("ayah_end"))
             ref = (effective["surah"], effective["ayah"])
-            if self.last_emitted_ref == ref:
-                # A span that STARTS at the already-emitted verse still
-                # carries news if it extends past it — emit the unemitted
-                # remainder instead of swallowing the whole commit
-                # (measured: flush leader 114:5-6 right after committing
-                # 114:5 dropped the final verse 114:6).
-                a_end = effective.get("ayah_end") or ref[1]
-                emitted_end = ref[1]
+            emitted_end = None
+            if self.last_emitted_ref and ref[0] == self.last_emitted_ref[0]:
+                emitted_end = self.last_emitted_ref[1]
                 if self.last_emitted_msg and self.last_emitted_msg.get(
                     "surah"
                 ) == ref[0]:
-                    emitted_end = (
+                    emitted_end = max(
+                        emitted_end,
                         self.last_emitted_msg.get("ayah_end")
-                        or self.last_emitted_msg["ayah"]
+                        or self.last_emitted_msg["ayah"],
                     )
+            if (
+                emitted_end is not None
+                and self.last_emitted_ref[1] <= ref[1] <= emitted_end
+            ):
+                # The commit starts INSIDE the already-emitted span. Same
+                # start: a span still carries news if it extends past the
+                # emitted end — emit the unemitted remainder (measured:
+                # flush leader 114:5-6 right after committing 114:5 dropped
+                # the final verse 114:6). Interior start with no extension
+                # is a residual re-read of already-emitted audio — and
+                # committing it drags tracking BACKWARD (measured: window
+                # over Fatiha verse 6 text-matched 1:4 after the 1:3-5
+                # span; the bogus commit re-anchored tracking at 1:4 and
+                # verse 6 was never emitted).
+                a_end = effective.get("ayah_end") or ref[1]
                 if a_end <= emitted_end:
+                    self._diag(
+                        type="commit", ref=key, reason="residual_in_span",
+                        confidence=0.0,
+                    )
                     return messages
                 rest_start = emitted_end + 1
                 rest = dict(effective)
@@ -861,6 +893,46 @@ class RecitationTracker:
             confidence = max(
                 score, min(0.99, 0.45 + acoustic_margin + length_fit * 0.2)
             )
+            # Gap-fill a recently DROPPED deferred emission: the reciter
+            # advanced past verse X while its pending emission was waiting
+            # for confirmation evidence; the next discovery then commits
+            # X+1 directly and X silently vanishes (measured: 95:2 pending
+            # dropped, 95:3 committed — final emissions skipped a verse
+            # the reciter read). If the new commit is the immediate
+            # successor of a pending verse dropped within the last ~8 s
+            # and that verse still fills a one-ayah gap after the emitted
+            # end, emit it first at modest confidence.
+            if self.last_dropped_pending is not None:
+                (ds, da), at = self.last_dropped_pending
+                fresh = (
+                    self.total_samples_fed - at
+                    <= self.config.samples(8.0)
+                )
+                fills_gap = (
+                    emitted_end is not None and da == emitted_end + 1
+                ) or emitted_end is None
+                if (
+                    fresh
+                    and fills_gap
+                    and ref[0] == ds
+                    and ref[1] == da + 1
+                    # only a confident non-flush successor commit counts as
+                    # evidence the reciter really passed through the gap —
+                    # a weak flush leader reachable via continuation bias
+                    # must not resurrect a rightly-dropped pending verse
+                    and not final_flush_commit
+                    and confidence >= 0.9
+                ):
+                    gap_verse = self.db.get_verse(ds, da)
+                    if gap_verse:
+                        gap_msg = self._verse_match_message(gap_verse, 0.72)
+                        messages.append(gap_msg)
+                        self._diag(
+                            type="commit", ref=ref_key(ds, da),
+                            reason="gap_fill_dropped_pending",
+                            confidence=0.72,
+                        )
+                self.last_dropped_pending = None
             emit_msg = self._verse_match_message(effective, confidence)
             messages.append(emit_msg)
             self.last_emitted_msg = emit_msg
@@ -1738,6 +1810,29 @@ class RecitationTracker:
             )
             return messages
 
+        # Completing the PENDING verse itself is its confirmation: this
+        # path only runs with completion coverage plus final-word or
+        # next-prefix acoustic evidence, so reverting the deferred
+        # emission in _exit_tracking would silently swallow a verse the
+        # reciter finished (measured: 95:2 armed -> tracked to completion
+        # -> dropped on its own "verse complete" exit; emissions skipped
+        # it while the tracker moved on to 95:3).
+        if (
+            self.tracking_pending_emission
+            and self.pending_emission_message is not None
+            and (
+                self.pending_emission_message["surah"],
+                self.pending_emission_message["ayah"],
+            ) == current_ref
+        ):
+            pending = self.pending_emission_message
+            messages.append(pending)
+            self._diag(
+                type="pending_emission", action="confirmed",
+                ref=f"{pending['surah']}:{pending['ayah']}",
+                reason="completed while pending",
+            )
+            self._clear_pending_emission()
         self.last_emitted_ref = current_ref
         self.last_emitted_text = verse["text_clean"]
         self._exit_tracking(
@@ -1916,6 +2011,14 @@ class RecitationTracker:
     def _exit_tracking(self, reason: str) -> None:
         if self.tracking_pending_emission and self.pre_advance_snapshot:
             snap = self.pre_advance_snapshot
+            if self.pending_emission_message:
+                self.last_dropped_pending = (
+                    (
+                        self.pending_emission_message["surah"],
+                        self.pending_emission_message["ayah"],
+                    ),
+                    self.total_samples_fed,
+                )
             self.last_emitted_ref = snap["emitted_ref"]
             self.last_emitted_text = snap["emitted_text"]
             # Restore the message too: after a dropped pending emission
