@@ -419,6 +419,8 @@ class RecitationTracker:
         # (surah, ayah) of the last DROPPED deferred emission + the sample
         # clock at the drop — fuels the gap-fill rule below
         self.last_dropped_pending: tuple[tuple[int, int], int] | None = None
+        # refs emitted in this utterance — final-flush dedup
+        self.emitted_refs_utterance: set[tuple[int, int]] = set()
         # deferred emission confirmed by its own completion during an
         # exit-tracking transition; surfaced by the next feed() return
         self.deferred_confirmed_on_exit: dict | None = None
@@ -516,8 +518,16 @@ class RecitationTracker:
                 self.hypothesis.observe_candidates(m)
             elif m["type"] == "verse_match":
                 self.hypothesis.observe_commit(m)
+                end = m.get("ayah_end") or m["ayah"]
+                self.emitted_refs_utterance.update(
+                    (m["surah"], a) for a in range(m["ayah"], end + 1)
+                )
             elif m["type"] == "verse_rollback":
                 self.hypothesis.observe_rollback(m)
+                end = m.get("ayah_end") or m["ayah"]
+                self.emitted_refs_utterance.difference_update(
+                    (m["surah"], a) for a in range(m["ayah"], end + 1)
+                )
 
         if final_flush:
             # Snapshot the Viterbi inputs before any utterance reset wipes
@@ -890,6 +900,21 @@ class RecitationTracker:
                 effective = rest
                 ref = (ref[0], rest_start)
                 key = ref_key(ref[0], rest_start, rest.get("ayah_end"))
+            if final_flush_commit:
+                a_end_new = effective.get("ayah_end") or ref[1]
+                if all(
+                    (ref[0], a) in self.emitted_refs_utterance
+                    for a in range(ref[1], a_end_new + 1)
+                ):
+                    # Final-flush commits re-reading ONLY verses already
+                    # emitted this utterance are leftover-audio re-reads,
+                    # not new recitation (measured: flush re-committed
+                    # 44:5 after the spurious 44:6, duplicating it).
+                    self._diag(
+                        type="commit", ref=key,
+                        reason="flush_duplicate_suppressed", confidence=0.0,
+                    )
+                    return messages
             confidence = max(
                 score, min(0.99, 0.45 + acoustic_margin + length_fit * 0.2)
             )
@@ -1084,6 +1109,14 @@ class RecitationTracker:
         words = text.split()
         if not prev or not words:
             return text
+        # Residual windows can reach back past the LAST emission into the
+        # one before it (measured: after span 44:1-4 then 44:5, the window
+        # "حكيم امرا من" opens with 44:4's final word — scoring only
+        # against 44:5's text left the 44:4 word unmatched at k=1, so the
+        # strip never started and the garbled mix retrieved phantom 44:6).
+        if self.prev_emitted_text:
+            tail_prev = " ".join(self.prev_emitted_text.split()[-8:])
+            prev = (tail_prev + " " + prev).strip()
         # Next-verse head guard: in refrain surahs consecutive verses share
         # words ("…الناس" ends every verse of 114), so the fuzzy residual
         # match can eat the NEXT verse's opening as "leftover" (measured:
@@ -2113,6 +2146,7 @@ class RecitationTracker:
         self.did_final_flush = False
 
     def _reset_utterance(self) -> None:
+        self.emitted_refs_utterance = set()
         self.utterance_audio = np.zeros(0, dtype=np.float32)
         self.new_audio_count = 0
         self.silence_samples = 0
