@@ -28,18 +28,43 @@ from tilawa_tpu.streaming.config import HypothesisParams
 from tilawa_tpu.streaming.tracker import StreamingHypothesis
 
 
+def _also_accept_by_id() -> dict[str, list]:
+    from tilawa_tpu.eval.runner import CORPUS_DIRS
+
+    out: dict[str, list] = {}
+    for key in ("v1", "v2", "v3"):
+        mpath = CORPUS_DIRS[key] / "manifest.json"
+        if not mpath.exists():
+            continue
+        with open(mpath, encoding="utf-8") as f:
+            data = json.load(f)
+        for s in data["samples"] if isinstance(data, dict) else data:
+            if s.get("also_accept"):
+                out[s["id"]] = s["also_accept"]
+    return out
+
+
 def load_dumps(paths: list[str]) -> list[dict]:
+    alts = _also_accept_by_id()
     rows = []
     for path in paths:
         with open(path, encoding="utf-8") as f:
             data = json.load(f)
         for s in data.get("per_sample", []):
             if "hypothesis" in s:
+                if not (
+                    s["hypothesis"].get("cycles")
+                    or s["hypothesis"].get("committed")
+                ):
+                    # trailing-silence re-flush clobbered the snapshot in
+                    # older dumps — constant zero for every config, skip
+                    continue
                 rows.append(
                     {
                         "id": s["id"],
                         "corpus": path,
                         "expected": s["expected"],
+                        "also_accept": alts.get(s["id"]),
                         **s["hypothesis"],
                     }
                 )
@@ -56,7 +81,11 @@ def score_params(rows: list[dict], params: HypothesisParams) -> dict:
         h.committed = list(r["committed"])
         out = h.finalize()
         verses = out["verses"] if out else []
-        s = score_sequence(r["expected"], verses)["sequence_accuracy"]
+        from tilawa_tpu.eval.metrics import best_emission_score
+
+        s = best_emission_score(
+            r["expected"], verses, r.get("also_accept")
+        )["sequence_accuracy"]
         total += s
         n += 1
         per_corpus.setdefault(r["corpus"], []).append(s)

@@ -533,10 +533,17 @@ class RecitationTracker:
             # Snapshot the Viterbi inputs before any utterance reset wipes
             # them — offline HypothesisParams sweeps re-finalize from this
             # (eval/hypothesis_sweep.py, TILAWA_DUMP_HYPOTHESIS).
-            self.last_hypothesis_snapshot = {
+            snap = {
                 "cycles": [list(c) for c in self.hypothesis.cycles],
                 "committed": list(self.hypothesis.committed),
             }
+            # A trailing silence re-flush after the utterance reset sees an
+            # EMPTY hypothesis — don't let it clobber the real snapshot.
+            if (
+                snap["cycles"] or snap["committed"]
+                or self.last_hypothesis_snapshot is None
+            ):
+                self.last_hypothesis_snapshot = snap
             final_seq = self.hypothesis.finalize()
             if final_seq:
                 messages.append(final_seq)
