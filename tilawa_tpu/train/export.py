@@ -30,7 +30,12 @@ def export_bundle(
     checkpoint: str | Path,
     out_dir: str | Path,
     int4: bool = True,
+    quant: str | None = None,
 ) -> Path:
+    """quant: explicit mode ("int4" | "int8" | None); falls back to the
+    legacy int4 flag when omitted. int8 keeps streaming checkpoints
+    deployable under the <200 MB constraint without the int4 accuracy
+    cliff on partial-window decodes (round-3 measurement)."""
     from tilawa_tpu.train.checkpoint import load_variables, save_variables
     from tilawa_tpu.train.quantize import (
         packed_size_bytes,
@@ -38,10 +43,16 @@ def export_bundle(
         quantized_config,
     )
 
+    mode = quant if quant is not None else ("int4" if int4 else None)
     config, variables = load_variables(checkpoint)
-    if int4 and config.quant != "int4":
-        variables = quantize_variables(variables)
-        config = quantized_config(config)
+    if mode and config.quant != mode:
+        if config.quant:
+            raise ValueError(
+                f"checkpoint already quantized as {config.quant}; "
+                f"cannot re-quantize to {mode}"
+            )
+        variables = quantize_variables(variables, mode=mode)
+        config = quantized_config(config, mode=mode)
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -105,6 +116,8 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     parser.add_argument("--int4", action="store_true", default=True)
     parser.add_argument("--fp", dest="int4", action="store_false")
+    parser.add_argument("--quant", default=None, choices=["int4", "int8"],
+                        help="explicit quantization mode (overrides --int4/--fp)")
     parser.add_argument("--verify", action="store_true",
                         help="verify an existing bundle instead of exporting")
     args = parser.parse_args(argv)
@@ -113,7 +126,7 @@ def main(argv=None):
         print(json.dumps(results, indent=2))
         return 0 if all(results.values()) else 1
     out = args.out or (str(args.checkpoint).rstrip("/") + "_export")
-    bundle = export_bundle(args.checkpoint, out, int4=args.int4)
+    bundle = export_bundle(args.checkpoint, out, int4=args.int4, quant=args.quant)
     print(f"exported to {bundle}")
     return 0
 

@@ -38,7 +38,9 @@ def _pack_kernel(kern: np.ndarray, block: int) -> tuple[np.ndarray, np.ndarray]:
     return np.stack(packed), np.stack(scales)
 
 
-def quantize_params(params: dict, block: int = INT4_BLOCK) -> dict:
+def quantize_params(
+    params: dict, block: int = INT4_BLOCK, mode: str = "int4"
+) -> dict:
     out = {}
     for name, sub in params.items():
         if (
@@ -46,26 +48,40 @@ def quantize_params(params: dict, block: int = INT4_BLOCK) -> dict:
             and isinstance(sub, dict)
             and "kernel" in sub
         ):
-            packed, scales = _pack_kernel(np.asarray(sub["kernel"]), block)
-            entry = {"packed": jnp.asarray(packed), "scales": jnp.asarray(scales)}
+            kern = np.asarray(sub["kernel"])
+            if mode == "int8":
+                from tilawa_tpu.ops.quant import quantize_int8
+
+                q, scales = quantize_int8(kern)
+                entry = {"q": jnp.asarray(q), "scales": jnp.asarray(scales)}
+            else:
+                packed, scales = _pack_kernel(kern, block)
+                entry = {
+                    "packed": jnp.asarray(packed),
+                    "scales": jnp.asarray(scales),
+                }
             if "bias" in sub:
                 entry["bias"] = sub["bias"]
             out[name] = entry
         elif isinstance(sub, dict):
-            out[name] = quantize_params(sub, block)
+            out[name] = quantize_params(sub, block, mode)
         else:
             out[name] = sub
     return out
 
 
-def quantize_variables(variables: dict, block: int = INT4_BLOCK) -> dict:
+def quantize_variables(
+    variables: dict, block: int = INT4_BLOCK, mode: str = "int4"
+) -> dict:
     new = dict(variables)
-    new["params"] = quantize_params(dict(variables["params"]), block)
+    new["params"] = quantize_params(dict(variables["params"]), block, mode)
     return new
 
 
-def quantized_config(config: FastConformerConfig, **overrides) -> FastConformerConfig:
-    return dataclasses.replace(config, quant="int4", **overrides)
+def quantized_config(
+    config: FastConformerConfig, mode: str = "int4", **overrides
+) -> FastConformerConfig:
+    return dataclasses.replace(config, quant=mode, **overrides)
 
 
 def _unpack_kernel(packed: np.ndarray, scales: np.ndarray, block: int) -> np.ndarray:
@@ -89,6 +105,17 @@ def dequantize_params(params: dict, block: int = INT4_BLOCK) -> dict:
                     _unpack_kernel(
                         np.asarray(sub["packed"]), np.asarray(sub["scales"]), block
                     )
+                )
+            }
+            if "bias" in sub:
+                entry["bias"] = sub["bias"]
+            out[name] = entry
+        elif isinstance(sub, dict) and "q" in sub and "scales" in sub:
+            from tilawa_tpu.ops.quant import dequantize_int8
+
+            entry = {
+                "kernel": jnp.asarray(
+                    dequantize_int8(np.asarray(sub["q"]), np.asarray(sub["scales"]))
                 )
             }
             if "bias" in sub:
