@@ -172,6 +172,12 @@ class HypothesisParams:
     # cycles must be explained by the path. 1.0 reproduces the round-2
     # measured behavior (oracle Viterbi v1/v2/v3 0.818/0.791/0.784).
     skip_scale: float = 1.0
+    # Confidence level above which skipping a cycle starts to cost:
+    # skip_cost = max(0.05, skip_scale * (top_confidence - skip_offset)).
+    # Decoupled from emission_bias so a lone 0.9-confidence cycle is
+    # still worth including (emission 0.9-1.0 = -0.1 beats the 0.2 skip)
+    # while garbage cycles (<0.7) stay near-free to drop.
+    skip_offset: float = 0.7
     # Bonus for a path candidate that names a verse the tracker actually
     # COMMITTED: commits survived every live gate (ambiguity, stability,
     # residual, feasibility), so the final path should prefer explaining
@@ -179,8 +185,14 @@ class HypothesisParams:
     commit_anchor: float = 0.6
     # Expectation subtracted from candidate confidence in the final
     # Viterbi: fusion confidences run 0.7-1.0 even on garbage cycles,
-    # so emissions are scored relative to this bias.
-    emission_bias: float = 0.8
+    # so emissions are scored relative to this bias. 1.0 per the round-3
+    # offline sweep over v1+v2+v3 oracle dumps (hypothesis_sweep:
+    # Viterbi seq-acc 0.80/0.82/0.80 -> 0.93/0.88/0.89 vs the old 0.8).
+    # Higher values score better still on the oracle (1.35 -> 0.98 v1)
+    # but converge the path onto commits alone — a commit-less flow of
+    # 0.95-confidence candidates must still be explainable by the path
+    # (real streaming runs have sparse, sometimes wrong commits).
+    emission_bias: float = 1.0
 
 
 def hypothesis_params_from_env() -> HypothesisParams:
@@ -207,6 +219,7 @@ def hypothesis_params_from_env() -> HypothesisParams:
         backward=env("BACKWARD", d.backward),
         far_forward=env("FAR_FORWARD", d.far_forward),
         skip_scale=env("SKIP_SCALE", d.skip_scale),
+        skip_offset=env("SKIP_OFFSET", d.skip_offset),
         commit_anchor=env("COMMIT_ANCHOR", d.commit_anchor),
         emission_bias=env("EMISSION_BIAS", d.emission_bias),
     )

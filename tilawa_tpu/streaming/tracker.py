@@ -325,8 +325,17 @@ class StreamingHypothesis:
                 ):
                     conf += p.commit_anchor
                 emissions.append((cand, conf - p.emission_bias))
-            top_em = max(em for _c, em in emissions)
-            skip_cost = max(0.05, p.skip_scale * top_em)
+            top_conf = max(
+                c.get("confidence", 0.0)
+                + (p.commit_anchor if not c.get("_commit") and any(
+                    (v["surah"], v["ayah"]) in committed_refs
+                    for v in self._expand(c)
+                ) else 0.0)
+                for c in cycle
+            )
+            skip_cost = max(
+                0.05, p.skip_scale * (top_conf - p.skip_offset)
+            )
             current = []
             for cand, em in emissions:
                 verses = self._expand(cand)
