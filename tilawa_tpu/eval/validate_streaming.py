@@ -250,6 +250,9 @@ def run_validation(
             feed_times and _pct(feed_times, 0.9) < chunk_seconds
         ),
         "model_size": getattr(transcribe, "model_size_bytes", 0),
+        # streaming evals always run real (or explicitly-named oracle)
+        # acoustics; tracker_oracle overrides via `name`
+        "acoustics": "oracle" if "oracle" in (name or "") else "real",
         "per_sample": per_sample,
     }
     return result

@@ -183,7 +183,14 @@ def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
 # tunneled backend a dispatch costs ~a network round trip, so one padded
 # L=128 pass beats three tight (32/128/512) passes — the extra lattice
 # work is MXU-cheap, the extra round trips are not (BENCH_r02 analysis).
-TOKEN_BUCKETS = (128, 512)
+# TILAWA_TOKEN_BUCKETS overrides (e.g. "32,128,512" for CPU-backend
+# harness runs, where the padded lattice is compute-bound rather than
+# dispatch-bound).
+import os as _os
+
+TOKEN_BUCKETS = tuple(
+    int(x) for x in _os.getenv("TILAWA_TOKEN_BUCKETS", "128,512").split(",")
+)
 CAND_BUCKETS = (512,)
 FRAME_BUCKETS = (512, 1024, 2048, 4096)
 
