@@ -18,6 +18,13 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+# CPU-only rows: the axon plugin hooks get_backend and ignores
+# JAX_PLATFORMS from the environment — config.update is the reliable
+# override (same as tests/conftest.py and tracker_oracle).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def prune_stale(cutoff: str = "2026-08-20") -> int:
     path = REPO / "benchmark" / "results" / "latest.json"
