@@ -18,12 +18,6 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# CPU-only rows: the axon plugin hooks get_backend and ignores
-# JAX_PLATFORMS from the environment — config.update is the reliable
-# override (same as tests/conftest.py and tracker_oracle).
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 
 
 def prune_stale(cutoff: str = "2026-08-20") -> int:
@@ -55,6 +49,14 @@ def main() -> int:
     parser.add_argument("--chip", action="store_true",
                         help="also refresh c2c-direct-mixed rows (needs TPU)")
     args = parser.parse_args()
+
+    if not args.chip:
+        # CPU-only rows: the axon plugin hooks get_backend and ignores
+        # JAX_PLATFORMS from the environment — config.update is the
+        # reliable override (same as tests/conftest.py, tracker_oracle).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     dropped = prune_stale()
     print(f"pruned {dropped} stale rows")
