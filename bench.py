@@ -93,7 +93,25 @@ def main() -> None:
 
     _log(f"budget {BUDGET_S:.0f}s; acquiring device")
     t = time.monotonic()
-    float(jnp.ones(8).sum())
+    # Dead-tunnel guard: acquisition blocks FOREVER if the relay daemon is
+    # gone (observed in round 3) — probe in a thread and emit a structured
+    # error instead of dying to the outer timeout with no JSON.
+    import threading
+
+    probe_done = threading.Event()
+
+    def _probe():
+        float(jnp.ones(8).sum())
+        probe_done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not probe_done.wait(timeout=max(60.0, BUDGET_S * 0.6)):
+        OUT["error"] = (
+            f"device acquisition timed out after {max(60.0, BUDGET_S * 0.6):.0f}s "
+            "(TPU tunnel relay down?)"
+        )
+        _emit()
+        os._exit(3)
     OUT["device_init_s"] = round(time.monotonic() - t, 1)
     _log(f"device ready in {OUT['device_init_s']}s; loading checkpoint")
     ckpt = shipped_checkpoint()
