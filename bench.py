@@ -188,9 +188,10 @@ def main() -> None:
                 seen_buckets.add(b)
                 warm_shapes.append((f"bucket {b}", ("single", b)))
             if n <= LONG_THRESHOLD:
-                # long-clip TTA runs sequentially on warm [1, b] programs;
-                # only short clips use the batched [2, b] TTA shape
-                tta_bucket = max(tta_bucket, b)
+                # TTA batches bucket by the 0.9x (lengthened) variant —
+                # warm THAT shape, not the original's bucket (code review
+                # r3 finding #5)
+                tta_bucket = max(tta_bucket, bucket_length(int(n / 0.9) + 1))
     if tta_bucket:
         warm_shapes.append((f"tta [2, {tta_bucket}]", ("tta", tta_bucket)))
 
@@ -221,6 +222,11 @@ def main() -> None:
 
     # ---- Batched corpus throughput FIRST (the r02 schedule starved it).
     audio_s_total = sum(len(a) / 16000.0 for _s, a, _e, _alt in audios)
+    # per-clip FLOPs sum: the T^2 attention term must use each clip's own
+    # length, not the corpus total (code review r3 finding #2)
+    corpus_flops = sum(
+        forward_flops(config, len(a) / 16000.0) for _s, a, _e, _alt in audios
+    )
     if _left() > 60:
         _log("batched corpus eval")
         try:
@@ -235,8 +241,7 @@ def main() -> None:
             OUT["batched_recall"] = batched["recall"]
             if batched.get("forward_s"):
                 mfu = (
-                    forward_flops(config, audio_s_total)
-                    / batched["forward_s"] / V5E_BF16_PEAK_FLOPS
+                    corpus_flops / batched["forward_s"] / V5E_BF16_PEAK_FLOPS
                 )
                 OUT["mfu_batched_forward"] = round(mfu, 5)
         except Exception as e:  # noqa: BLE001 — batched eval must not kill the bench
@@ -277,10 +282,11 @@ def main() -> None:
         OUT["vs_baseline_mean"] = round(wall / n / REF_MEAN_S, 4)
         OUT["p90_latency_s"] = round(lat[int(0.9 * (n - 1))], 4)
         OUT["audio_sec_per_sec"] = round(total_audio_s / wall, 2) if wall else None
-        mfu_seq = (
-            forward_flops(config, total_audio_s) / wall / V5E_BF16_PEAK_FLOPS
-        )
-        OUT["mfu_sequential"] = round(mfu_seq, 5)
+        mfu_seq = corpus_flops / wall / V5E_BF16_PEAK_FLOPS if not OUT[
+            "partial"
+        ] else None
+        if mfu_seq is not None:
+            OUT["mfu_sequential"] = round(mfu_seq, 5)
         OUT["n_clips"] = n
         OUT["recall"] = round(scores["recall"] / n, 4)
         OUT["seq_acc"] = round(scores["sequence_accuracy"] / n, 4)

@@ -14,6 +14,13 @@ then sweeps re-score in milliseconds:
 
 (reference analogue: STREAMING_HYPOTHESIS_* env overrides on tracker.ts
 Viterbi constants, tracker.ts:453-481 — tuned there by full re-runs.)
+
+Known limitation: a clip with a mid-clip silence flush spans multiple
+utterances, and only the LAST non-empty utterance's hypothesis survives
+in the dump — such clips under-score every config equally. Treat sweep
+results as comparative, and confirm any default change with a LIVE
+oracle re-run (round-3 live runs scored slightly ABOVE the offline
+estimates: 0.886/0.907/0.847 vs 0.88/0.88/0.86).
 """
 
 from __future__ import annotations

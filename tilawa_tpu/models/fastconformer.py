@@ -204,7 +204,8 @@ class Int8Dense(nn.Module):
         k = x.shape[-1]
 
         def init_q(rng, shape, _dtype):
-            return jax.random.randint(rng, shape, -127, 128, dtype=jnp.int8)
+            # sample in int32: maxval=128 would wrap when cast to int8
+            return jax.random.randint(rng, shape, -127, 128).astype(jnp.int8)
 
         def init_scales(rng, shape, _dtype):
             return jnp.full(shape, 1.0 / (127.0 * np.sqrt(k)), jnp.float32)

@@ -261,6 +261,15 @@ class Recognizer:
 
     def transcribe_audio(self, audio: np.ndarray) -> str:
         if hasattr(self.runtime, "forward"):
+            if (
+                not getattr(self.runtime, "long_chunking", False)
+                and len(audio) > self.LONG_CHUNK_S * 16000
+            ):
+                # Without in-graph chunking a very long clip would compile
+                # an unbounded ceil-to-ladder bucket with quadratic
+                # attention — degrade to the 25 s text-concat chunking
+                # instead (code review r3 finding #6).
+                return self._transcribe_long(audio)
             # forward() chunk-stitches long clips in-graph, so the decode
             # is over one coherent log-prob sequence (strictly better than
             # the per-chunk text concatenation the non-device path uses).

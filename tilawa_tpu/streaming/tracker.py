@@ -325,14 +325,9 @@ class StreamingHypothesis:
                 ):
                     conf += p.commit_anchor
                 emissions.append((cand, conf - p.emission_bias))
-            top_conf = max(
-                c.get("confidence", 0.0)
-                + (p.commit_anchor if not c.get("_commit") and any(
-                    (v["surah"], v["ayah"]) in committed_refs
-                    for v in self._expand(c)
-                ) else 0.0)
-                for c in cycle
-            )
+            # anchored confidence == relative emission + bias; no second
+            # pass over the cycle needed
+            top_conf = max(em for _c, em in emissions) + p.emission_bias
             skip_cost = max(
                 0.05, p.skip_scale * (top_conf - p.skip_offset)
             )
@@ -430,9 +425,6 @@ class RecitationTracker:
         self.last_dropped_pending: tuple[tuple[int, int], int] | None = None
         # refs emitted in this utterance — final-flush dedup
         self.emitted_refs_utterance: set[tuple[int, int]] = set()
-        # deferred emission confirmed by its own completion during an
-        # exit-tracking transition; surfaced by the next feed() return
-        self.deferred_confirmed_on_exit: dict | None = None
 
         self._short_verse_cache: list[dict] | None = None
         self.reset()
@@ -458,6 +450,8 @@ class RecitationTracker:
         self.prev_emitted_msg: dict | None = None
         self.last_commit_evidence: _CommitEvidence | None = None
         self.consecutive_auto_advances = 0
+        self.emitted_refs_utterance = set()
+        self.last_dropped_pending = None
 
         self.tracking_verse: dict | None = None
         self.tracking_verse_words: list[str] = []
@@ -518,9 +512,6 @@ class RecitationTracker:
             messages = self._handle_tracking(final_flush)
         else:
             messages = self._handle_discovery(final_flush)
-        if self.deferred_confirmed_on_exit is not None:
-            messages.insert(0, self.deferred_confirmed_on_exit)
-            self.deferred_confirmed_on_exit = None
 
         for m in messages:
             if m["type"] == "verse_candidate":
@@ -976,7 +967,6 @@ class RecitationTracker:
                 self.last_dropped_pending = None
             emit_msg = self._verse_match_message(effective, confidence)
             messages.append(emit_msg)
-            self.last_emitted_msg = emit_msg
             self._diag(
                 type="commit",
                 ref=key,
@@ -987,9 +977,15 @@ class RecitationTracker:
                 ),
                 confidence=round(confidence, 2),
             )
+            # prev_* must capture the PREVIOUS emission before any
+            # overwrite — saving prev_emitted_msg after assigning
+            # last_emitted_msg aliased it to the NEW message, so a weak
+            # rollback restored the retracted message itself (code review
+            # r3 finding #1).
             self.prev_emitted_ref = self.last_emitted_ref
             self.prev_emitted_text = self.last_emitted_text
             self.prev_emitted_msg = self.last_emitted_msg
+            self.last_emitted_msg = emit_msg
             self.last_emitted_ref = ref
             # Span commits must remember the FULL span text: the residual
             # check compares later windows against last_emitted_text, and a
