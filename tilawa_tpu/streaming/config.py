@@ -159,7 +159,10 @@ def normalize_streaming_config(
 @dataclasses.dataclass(frozen=True)
 class HypothesisParams:
     surah_jump_high_confidence: float = -0.35
-    surah_jump: float = -1.25
+    # -1.6 per the round-3 offline sweep (v3 Viterbi 0.864 -> 0.872,
+    # v1/v2 unchanged; plateaus by -1.6). Garbage cycles on real runs are
+    # usually cross-surah, so a stiffer jump penalty is real-run-safe.
+    surah_jump: float = -1.6
     same_ayah: float = 0.15
     next_ayah: float = 0.35
     small_forward_per_ayah: float = -0.15
