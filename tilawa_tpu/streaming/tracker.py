@@ -925,6 +925,26 @@ class RecitationTracker:
             confidence = max(
                 score, min(0.99, 0.45 + acoustic_margin + length_fit * 0.2)
             )
+            # Superseded-commit rollback: a confident commit in a DIFFERENT
+            # surah right after a weak commit that never tracked any
+            # progress is direct evidence the weak one was a misread
+            # (measured: a partial first window short-rescued 20:34 at
+            # 0.77/margin 0.27, then five blocked cycles all led 10:10 —
+            # the real verse — which finally committed at 0.99 while the
+            # phantom stayed emitted). Weak-only via _rollback_weak_commit:
+            # strong or progress-backed commits are never retracted, so a
+            # genuine surah transition is unaffected.
+            if (
+                not is_continuation
+                and self.last_emitted_ref
+                and ref[0] != self.last_emitted_ref[0]
+                and confidence >= 0.9
+            ):
+                rb = self._rollback_weak_commit(
+                    "superseded by non-continuation commit"
+                )
+                if rb:
+                    messages.append(rb)
             # Gap-fill a recently DROPPED deferred emission: the reciter
             # advanced past verse X while its pending emission was waiting
             # for confirmation evidence; the next discovery then commits
