@@ -130,11 +130,31 @@ def make_factory(
     seed: int = 0,
 ):
     alignments = load_alignments(corpus)
+    degenerate: list[str] = []
+
+    def alignment_degenerate(align, audio: np.ndarray) -> bool:
+        """Broken forced alignments produce near-empty oracle windows —
+        scoring them measures the aligner's failure, not tracker policy.
+        Degenerate = tokens collapsed to clip edges (huge internal gap),
+        near-zero token coverage of the clip, or a single token for a
+        multi-second clip (audited examples: ea_alafasy_030001 holds ONE
+        token; ea_husary_026100/026122 gap 9-10 s)."""
+        starts = np.asarray(align["starts"], dtype=np.int64)
+        ends = np.asarray(align["ends"], dtype=np.int64)
+        clip_s = len(audio) / 16000.0
+        if len(starts) <= 1:
+            return clip_s > 2.0
+        max_gap_s = float((starts[1:] - ends[:-1]).max()) / 16000.0
+        token_span_s = float(ends[-1] - starts[0]) / 16000.0
+        return max_gap_s > 5.0 or token_span_s < 0.4 * clip_s
 
     def factory(sample: dict, audio: np.ndarray):
         align = alignments.get(sample["id"])
         if align is None:
             return None  # skip samples without a forced alignment
+        if alignment_degenerate(align, audio):
+            degenerate.append(sample["id"])
+            return None
         # Per-sample seeding: one shared RNG would couple every sample's
         # noise to how many transcribe calls earlier samples made, so any
         # policy change scrambles all downstream samples and per-sample
@@ -152,6 +172,7 @@ def make_factory(
             rng=np.random.default_rng(sample_seed),
         )
 
+    factory.degenerate = degenerate
     return factory
 
 
@@ -206,6 +227,9 @@ def main(argv=None) -> int:
         k: (round(v, 4) if isinstance(v, float) else v)
         for k, v in result.items() if k != "per_sample"
     }
+    # Itemize excluded degenerate-alignment inputs so the ceiling number
+    # is auditable (they count in `skipped`, never as passes).
+    summary["alignment_degenerate"] = sorted(factory.degenerate)
     print(json.dumps(summary, ensure_ascii=False))
     if args.out:
         Path(args.out).write_text(json.dumps(result, ensure_ascii=False))
