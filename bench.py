@@ -282,15 +282,17 @@ def main() -> None:
         OUT["vs_baseline_mean"] = round(wall / n / REF_MEAN_S, 4)
         OUT["p90_latency_s"] = round(lat[int(0.9 * (n - 1))], 4)
         OUT["audio_sec_per_sec"] = round(total_audio_s / wall, 2) if wall else None
-        mfu_seq = corpus_flops / wall / V5E_BF16_PEAK_FLOPS if not OUT[
-            "partial"
-        ] else None
-        if mfu_seq is not None:
-            OUT["mfu_sequential"] = round(mfu_seq, 5)
+        OUT["partial"] = n < len(audios)
+        # mfu only on a full run: corpus_flops covers every clip, so a
+        # budget-truncated loop would understate it (ADVICE r3 medium #1 —
+        # the partial flag must be updated BEFORE this guard reads it).
+        if not OUT["partial"] and wall:
+            OUT["mfu_sequential"] = round(
+                corpus_flops / wall / V5E_BF16_PEAK_FLOPS, 5
+            )
         OUT["n_clips"] = n
         OUT["recall"] = round(scores["recall"] / n, 4)
         OUT["seq_acc"] = round(scores["sequence_accuracy"] / n, 4)
-        OUT["partial"] = n < len(audios)
 
 
 def _on_term(signum, frame):  # noqa: ARG001 — signal handler signature

@@ -188,9 +188,25 @@ def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
 # dispatch-bound).
 import os as _os
 
-TOKEN_BUCKETS = tuple(
-    int(x) for x in _os.getenv("TILAWA_TOKEN_BUCKETS", "128,512").split(",")
-)
+def _parse_buckets(raw: str) -> tuple[int, ...]:
+    # Defensive parse (ADVICE r3): _next_bucket assumes an ascending
+    # ladder of positive ints, so sort, dedupe, and fail with the env-var
+    # name on malformed input rather than a bare ValueError at import of
+    # every module.
+    try:
+        vals = sorted({int(x) for x in raw.split(",") if x.strip()})
+    except ValueError as e:
+        raise ValueError(
+            f"TILAWA_TOKEN_BUCKETS must be comma-separated ints, got {raw!r}"
+        ) from e
+    if not vals or vals[0] <= 0:
+        raise ValueError(
+            f"TILAWA_TOKEN_BUCKETS must be positive ints, got {raw!r}"
+        )
+    return tuple(vals)
+
+
+TOKEN_BUCKETS = _parse_buckets(_os.getenv("TILAWA_TOKEN_BUCKETS", "128,512"))
 CAND_BUCKETS = (512,)
 FRAME_BUCKETS = (512, 1024, 2048, 4096)
 

@@ -555,6 +555,13 @@ class RecitationTracker:
             )
             if not self.in_tracking:
                 self._reset_utterance()
+            else:
+                # A tracking-mode flush ends the utterance too: clear the
+                # duplicate-suppression set so a verse the user genuinely
+                # re-recites later isn't suppressed at the next flush
+                # (ADVICE r3 — the set previously only cleared on the
+                # discovery-mode _reset_utterance path).
+                self.emitted_refs_utterance = set()
         return messages
 
     # ----------------------------------------------------------- discovery
@@ -960,9 +967,14 @@ class RecitationTracker:
                     self.total_samples_fed - at
                     <= self.config.samples(8.0)
                 )
+                # Same-surah gap must be CONFIRMED (ADVICE r3): when
+                # emitted_end is None — last emission in another surah or
+                # rolled back — the dropped pending is most likely part of
+                # a misidentified chain, not a skipped verse, so don't
+                # resurrect it.
                 fills_gap = (
                     emitted_end is not None and da == emitted_end + 1
-                ) or emitted_end is None
+                )
                 if (
                     fresh
                     and fills_gap
@@ -1141,6 +1153,11 @@ class RecitationTracker:
         words = text.split()
         if not prev or not words:
             return text
+        # Length cap anchors to the LAST emission only — the prepended
+        # prev-emission tail below widens the match target, and letting it
+        # also widen the cap loosens the "residual can't outgrow the
+        # emitted text" bound (ADVICE r3).
+        prev_chars = len(prev.replace(" ", ""))
         # Residual windows can reach back past the LAST emission into the
         # one before it (measured: after span 44:1-4 then 44:5, the window
         # "حكيم امرا من" opens with 44:4's final word — scoring only
@@ -1168,7 +1185,6 @@ class RecitationTracker:
             nxt = self.db.get_next_verse(self.last_emitted_ref[0], end_ayah)
             nxt_text = (nxt or {}).get("text_clean") or ""
         best_k = 0
-        prev_chars = len(prev.replace(" ", ""))
         for k in range(1, len(words) + 1):
             if nxt_text:
                 tail = " ".join(words[k - 1 :])
