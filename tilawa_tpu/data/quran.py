@@ -123,6 +123,7 @@ class QuranDB:
 
         # Span-text caches: (surah, span_len) -> (texts Corpus, start ayahs).
         self._span_cache: dict[tuple[int, int], tuple[Corpus, list[int]]] = {}
+        self._global_span_cache: dict[int, tuple] = {}
 
         self._build_trigram_index()
 
@@ -208,6 +209,41 @@ class QuranDB:
             starts.append(chunk[0]["ayah"])
         entry = (Corpus(texts), starts)
         self._span_cache[key] = entry
+        return entry
+
+    def _global_span_corpus(
+        self, span: int
+    ) -> tuple[Corpus, np.ndarray, np.ndarray, dict[int, tuple[int, int]]]:
+        """All span-`span` windows of every surah in one Corpus, with
+        per-surah row ranges — lets match_verse score the span pass with
+        one native subset scan per span size instead of one small ctypes
+        call per surah (the dominant cost of a match_verse query)."""
+        hit = self._global_span_cache.get(span)
+        if hit is not None:
+            return hit
+        texts: list[str] = []
+        surahs: list[int] = []
+        starts: list[int] = []
+        ranges: dict[int, tuple[int, int]] = {}
+        for s in sorted(self._by_surah):
+            verses = self._by_surah[s]
+            r0 = len(texts)
+            for i in range(len(verses) - span + 1):
+                chunk = verses[i : i + span]
+                first = chunk[0]["text_clean_no_bsm"] or chunk[0]["text_clean"]
+                texts.append(
+                    " ".join([first] + [c["text_clean"] for c in chunk[1:]])
+                )
+                surahs.append(s)
+                starts.append(chunk[0]["ayah"])
+            ranges[s] = (r0, len(texts))
+        entry = (
+            Corpus(texts),
+            np.asarray(surahs, dtype=np.int64),
+            np.asarray(starts, dtype=np.int64),
+            ranges,
+        )
+        self._global_span_cache[span] = entry
         return entry
 
     def span_text(self, surah: int, start: int, end: int) -> str | None:
@@ -449,36 +485,77 @@ class QuranDB:
                 self.verses[i]["surah"]
                 for i in self.trigram_candidates(text, top_k=20)
             )
+        ordered_surahs: list[int] = []
         seen_surahs: set[int] = set()
         for s in span_surahs:
-            if s in seen_surahs:
+            if s not in seen_surahs:
+                seen_surahs.add(s)
+                ordered_surahs.append(s)
+        # One native subset scan per span SIZE over a global span corpus
+        # (was: one scan per surah x span — ~100 small ctypes calls per
+        # query dominated match_verse latency). Scores are identical; the
+        # sequential strict-> update is reproduced by taking the max score
+        # and breaking ties by the original (surah order, span, start)
+        # iteration order.
+        surah_pos = {s: i for i, s in enumerate(ordered_surahs)}
+        span_best: tuple | None = None  # (score, order_key, payload)
+        for span in range(2, max_span + 1):
+            corpus, surahs_arr, starts_arr, ranges = self._global_span_corpus(span)
+            idx_parts = [
+                np.arange(*ranges[s])
+                for s in ordered_surahs
+                if s in ranges and ranges[s][1] > ranges[s][0]
+            ]
+            if not idx_parts:
                 continue
-            seen_surahs.add(s)
-            for span in range(2, max_span + 1):
-                corpus, starts = self._span_corpus(s, span)
-                if not len(corpus):
-                    continue
-                ratios = corpus.batch_ratio(text)
-                for k, raw in enumerate(ratios):
-                    start_ayah = starts[k]
-                    bonus = bonuses.get((s, start_ayah), 0.0)
-                    score = min(float(raw) + bonus, 1.0)
-                    if score > best_score:
-                        end_ayah = start_ayah + span - 1
-                        chunk = [
-                            self._by_ref[(s, a)] for a in range(start_ayah, end_ayah + 1)
-                        ]
-                        best_score = score
-                        best = {
-                            "surah": s,
-                            "ayah": start_ayah,
-                            "ayah_end": end_ayah,
-                            "text": " ".join(c["text_uthmani"] for c in chunk),
-                            "text_clean": corpus.texts[k],
-                            "score": score,
-                            "raw_score": float(raw),
-                            "bonus": bonus,
-                        }
+            idxs = np.concatenate(idx_parts)
+            ratios = corpus.subset_ratio(text, idxs)
+            scores = ratios.copy()
+            if bonuses:
+                for j, gi in enumerate(idxs):
+                    b = bonuses.get(
+                        (int(surahs_arr[gi]), int(starts_arr[gi]))
+                    )
+                    if b:
+                        scores[j] = min(scores[j] + b, 1.0)
+            j_best = None
+            for j in np.nonzero(scores > best_score)[0]:
+                gi = int(idxs[j])
+                key = (surah_pos[int(surahs_arr[gi])], span, gi)
+                if j_best is None or (
+                    scores[j] > scores[j_best[0]]
+                    or (scores[j] == scores[j_best[0]] and key < j_best[1])
+                ):
+                    j_best = (int(j), key)
+            if j_best is not None:
+                j, key = j_best
+                gi = int(idxs[j])
+                cand = (float(scores[j]), key, gi, float(ratios[j]), span)
+                if span_best is None or (
+                    cand[0] > span_best[0]
+                    or (cand[0] == span_best[0] and cand[1] < span_best[1])
+                ):
+                    span_best = cand
+        if span_best is not None:
+            score, _key, gi, raw, span = span_best
+            corpus, surahs_arr, starts_arr, _ranges = self._global_span_corpus(span)
+            s = int(surahs_arr[gi])
+            start_ayah = int(starts_arr[gi])
+            end_ayah = start_ayah + span - 1
+            chunk = [
+                self._by_ref[(s, a)] for a in range(start_ayah, end_ayah + 1)
+            ]
+            best_score = score
+            best = {
+                "surah": s,
+                "ayah": start_ayah,
+                "ayah_end": end_ayah,
+                "text": " ".join(c["text_uthmani"] for c in chunk),
+                "text_clean": corpus.texts[gi],
+                "score": score,
+                "raw_score": raw,
+                "bonus": bonuses.get((s, start_ayah), 0.0),
+            }
 
         # Span completion for suffix-prefix winners: with a continuation
         # hint, a query "full verse N+1 + head of N+2" lets the

@@ -154,13 +154,19 @@ def align_position(
 
 def has_strong_pending_prefix_evidence(matched: list[int], total_words: int) -> bool:
     """Fresh-audio confirmation rule for a deferred next-verse emission
-    (tracker.ts:253-266)."""
+    (tracker.ts:253-266). Matches must be roughly CONTIGUOUS from the
+    verse head: the greedy aligner's lookahead lets ubiquitous stop-words
+    match scattered positions (measured: mid-10:15 audio "قل ما يكون لي"
+    matched 10:16's w0 "قل" and w4 "ما" — first<=1 and len>=2 held, and
+    the phantom pending confirmed), but a genuine onset reads the next
+    verse's opening words in order without skipping most of them."""
     if not matched:
         return False
     first, last = matched[0], matched[-1]
     if total_words <= 3:
         return first == 0
-    return first <= 1 and (len(matched) >= 2 or last >= 2)
+    contiguous = (last - first + 1) <= len(matched) + 2
+    return first <= 1 and (len(matched) >= 2 or last >= 2) and contiguous
 
 
 def ref_key(surah: int, ayah: int, ayah_end: int | None = None) -> str:
@@ -604,8 +610,23 @@ class RecitationTracker:
             residual = partial_ratio(text, self.last_emitted_text)
             text_chars = len(text.replace(" ", ""))
             emitted_chars = len(self.last_emitted_text.replace(" ", ""))
+            # A long verse committed early leaves a multi-window remainder
+            # that outgrows the NEXT emission's text — compare against the
+            # last TWO emissions so that remainder still reads as leftover
+            # (measured: after 10:15 then phantom 10:16, the rest of 10:15
+            # — 27 words — failed the single-emission cap and retrieved
+            # phantom span 39:11-13 at flush).
+            if self.prev_emitted_text:
+                combined = self.prev_emitted_text + " " + self.last_emitted_text
+                r2 = partial_ratio(text, combined)
+                if r2 > residual:
+                    residual = r2
+                    emitted_chars = len(combined.replace(" ", ""))
             looks_like_leftover = text_chars <= math.ceil(emitted_chars * 1.15)
-            if residual > 0.7 and looks_like_leftover and not final_flush:
+            if (
+                residual > 0.7 and looks_like_leftover and not final_flush
+                and not self._reads_as_continuation(text, residual)
+            ):
                 self._diag(type="silence_skip", mode="discovery",
                            reason=f"residual={residual:.3f}")
                 return messages
@@ -1145,6 +1166,42 @@ class RecitationTracker:
             best = max(best, ratio(text_s, cand_text[:n]))
         return best
 
+    def _next_expected_verse(self) -> dict | None:
+        """The verse expected to follow the last emission (span-aware:
+        a span commit's continuation starts after its LAST ayah)."""
+        if not self.last_emitted_ref:
+            return None
+        end_ayah = self.last_emitted_ref[1]
+        if self.last_emitted_msg and self.last_emitted_msg.get(
+            "surah"
+        ) == self.last_emitted_ref[0]:
+            end_ayah = (
+                self.last_emitted_msg.get("ayah_end")
+                or self.last_emitted_msg["ayah"]
+            )
+        return self.db.get_next_verse(self.last_emitted_ref[0], end_ayah)
+
+    def _reads_as_continuation(self, text: str, residual: float) -> bool:
+        """Refrain guard for the live residual skip: in refrain surahs
+        consecutive verses fuzzy-match each other (109:2/3/4/5 share most
+        of their words; 55's refrain repeats 31 times), so a window over
+        genuinely NEW verses scores >0.7 against the just-emitted text and
+        the whole cycle is skipped as leftover (measured: oracle multi_109
+        lost 109:4-5 to back-to-back residual skips). If the window reads
+        at least as well as the expected CONTINUATION, it must not be
+        skipped — mixed leftover+onset windows still route through
+        _strip_residual_prefix, whose next-verse break handles the prefix."""
+        nxt = self._next_expected_verse()
+        cont = (nxt or {}).get("text_clean") or ""
+        if not cont:
+            return False
+        best = partial_ratio(text, cont)
+        nxt2 = self.db.get_next_verse(nxt["surah"], nxt["ayah"])
+        cont2 = (nxt2 or {}).get("text_clean") or ""
+        if cont2:
+            best = max(best, partial_ratio(text, cont + " " + cont2))
+        return best >= 0.75 and best >= residual - 0.03
+
     def _strip_residual_prefix(self, text: str, min_score: float = 0.82) -> str:
         """Drop the longest leading word-prefix of `text` that reads as a
         fragment of the last emitted verse; return the new tail (reference:
@@ -1153,37 +1210,28 @@ class RecitationTracker:
         words = text.split()
         if not prev or not words:
             return text
-        # Length cap anchors to the LAST emission only — the prepended
-        # prev-emission tail below widens the match target, and letting it
-        # also widen the cap loosens the "residual can't outgrow the
-        # emitted text" bound (ADVICE r3).
+        # Per-target length caps (ADVICE r3 discipline, extended): a
+        # residual matched against the LAST emission alone cannot outgrow
+        # that emission's text; a residual matched against the last TWO
+        # emissions (a long verse committed early leaves a multi-window
+        # remainder that reaches back past the next commit — measured:
+        # 44:4's final word after span 44:1-4 + 44:5; 10:15's words 11-37
+        # after 10:15 + 10:16) is capped by the CONCATENATED length, never
+        # by less.
         prev_chars = len(prev.replace(" ", ""))
-        # Residual windows can reach back past the LAST emission into the
-        # one before it (measured: after span 44:1-4 then 44:5, the window
-        # "حكيم امرا من" opens with 44:4's final word — scoring only
-        # against 44:5's text left the 44:4 word unmatched at k=1, so the
-        # strip never started and the garbled mix retrieved phantom 44:6).
+        concat = ""
+        concat_chars = 0
         if self.prev_emitted_text:
-            tail_prev = " ".join(self.prev_emitted_text.split()[-8:])
-            prev = (tail_prev + " " + prev).strip()
+            concat = (self.prev_emitted_text + " " + prev).strip()
+            concat_chars = len(concat.replace(" ", ""))
         # Next-verse head guard: in refrain surahs consecutive verses share
         # words ("…الناس" ends every verse of 114), so the fuzzy residual
         # match can eat the NEXT verse's opening as "leftover" (measured:
         # "اله الناس" — all of 114:3 — stripped after span 114:1-2). If the
         # tail from position k reads as the next verse starting, stop
         # stripping there.
-        nxt_text = ""
-        if self.last_emitted_ref:
-            end_ayah = self.last_emitted_ref[1]
-            if self.last_emitted_msg and self.last_emitted_msg.get(
-                "surah"
-            ) == self.last_emitted_ref[0]:
-                end_ayah = (
-                    self.last_emitted_msg.get("ayah_end")
-                    or self.last_emitted_msg["ayah"]
-                )
-            nxt = self.db.get_next_verse(self.last_emitted_ref[0], end_ayah)
-            nxt_text = (nxt or {}).get("text_clean") or ""
+        nxt = self._next_expected_verse()
+        nxt_text = (nxt or {}).get("text_clean") or ""
         best_k = 0
         for k in range(1, len(words) + 1):
             if nxt_text:
@@ -1193,20 +1241,27 @@ class RecitationTracker:
             prefix = " ".join(
                 w for w in words[:k] if any("؀" <= ch <= "ۿ" for ch in w)
             )
-            # A leading residual cannot be longer than the emitted text —
-            # and partial_ratio flips direction once the prefix outgrows
-            # prev (it aligns the SHORTER inside the longer, so "prev ⊂
-            # prefix" saturates at 1.0 and the strip eats the new verse
-            # too; measured: 55:4 "علمه البيان" vanished after "خلق
-            # الانسن").
-            if len(prefix.replace(" ", "")) > prev_chars * 1.15 + 2:
+            # A leading residual cannot be longer than the text it claims
+            # to be leftover of — and partial_ratio flips direction once
+            # the prefix outgrows its target (it aligns the SHORTER inside
+            # the longer, so "prev ⊂ prefix" saturates at 1.0 and the
+            # strip eats the new verse too; measured: 55:4 "علمه البيان"
+            # vanished after "خلق الانسن").
+            p_chars = len(prefix.replace(" ", ""))
+            within_last = p_chars <= prev_chars * 1.15 + 2
+            within_concat = bool(concat) and p_chars <= concat_chars * 1.15 + 2
+            if not within_last and not within_concat:
                 break
             # Decoder filler glyphs ("⁇") carry no lexical evidence — they
             # must not anchor a "this is new content" decision mid-residual
             # (measured: "ه ⁇ زكريا اذ" after emitting 19:2 stripped only
             # "ه" because ⁇ broke the chain, and the garbled remainder
             # clear-margined phantom 26:196).
-            if not prefix or partial_ratio(prefix, prev) >= min_score:
+            is_residual = (
+                (within_last and partial_ratio(prefix, prev) >= min_score)
+                or (within_concat and partial_ratio(prefix, concat) >= min_score)
+            )
+            if not prefix or is_residual:
                 best_k = k
         return " ".join(words[best_k:])
 
@@ -1637,7 +1692,14 @@ class RecitationTracker:
                     recognized, pv["text_clean"].split(), 0,
                     cfg.lookahead_words,
                 )
-                self.pending_lexical_matches += len(pmatched)
+                # Same contiguity discipline as the confirmation rule:
+                # scattered stop-word hits ("قل"@0 + "ما"@4) are retrieval
+                # noise, not evidence the pending verse is being recited.
+                if (
+                    pmatched
+                    and (pmatched[-1] - pmatched[0] + 1) <= len(pmatched) + 2
+                ):
+                    self.pending_lexical_matches += len(pmatched)
         self.tracking_primary_matches += len(primary_matched)
         confirmed_pending = False
 
@@ -1654,6 +1716,7 @@ class RecitationTracker:
             self._diag(
                 type="pending_emission", action="confirmed",
                 ref=f"{pending['surah']}:{pending['ayah']}",
+                via="prefix_evidence", matched=list(matched),
                 margin=self._finite(self.pending_emission_margin),
                 fresh_samples=self.total_samples_fed - self.samples_at_advance,
             )
@@ -1788,7 +1851,18 @@ class RecitationTracker:
         # display but never CONFIRM a deferred emission (measured: 100:1's
         # tail audio "confirmed" phantom 100:2 then 100:3 through acoustic
         # word progress alone).
-        lex_completed = self.tracking_lexical_word_idx + 1 >= completion_target
+        # A single stop-word landing at a high index must not read as
+        # completion: the acoustic fallback inflates resume_from, and the
+        # greedy aligner then matches one ubiquitous word deep into the
+        # verse (measured: mid-10:15 audio pushed pending 10:16 to
+        # acoustic_word 10, a lone "من" matched w14 of 18, and lex_completed
+        # "confirmed" the phantom). Require a body of lexical matches
+        # proportional to the verse, not just the furthest index.
+        lex_match_floor = max(2, completion_target // 3)
+        lex_completed = (
+            self.tracking_lexical_word_idx + 1 >= completion_target
+            and self.tracking_primary_matches >= lex_match_floor
+        )
 
         # Coverage-confirmed deferred emission (lexical evidence only).
         if (
@@ -1800,6 +1874,8 @@ class RecitationTracker:
             messages.append(pending)
             self._diag(type="pending_emission", action="confirmed",
                        ref=f"{pending['surah']}:{pending['ayah']}",
+                       via="lex_completed",
+                       lexical_word_idx=self.tracking_lexical_word_idx,
                        margin=self._finite(self.pending_emission_margin),
                        fresh_samples=self.total_samples_fed - self.samples_at_advance)
             self._clear_pending_emission()
