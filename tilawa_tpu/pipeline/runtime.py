@@ -17,7 +17,7 @@ stack (decode → retrieve → rerank → TTA) is testable end to end.
 
 from __future__ import annotations
 
-import functools
+import os
 from pathlib import Path
 
 import jax
@@ -93,13 +93,23 @@ class EncoderRuntime:
         # weight set, which on the tunneled backend is a multi-second
         # network transfer per forward.
         self.variables = jax.device_put(variables)
-        self._apply = jax.jit(
-            functools.partial(
-                self.model.apply, deterministic=True, use_running_average=True
+        def apply_fp(variables, audio, lengths):
+            if jnp.issubdtype(audio.dtype, jnp.integer):
+                audio = audio.astype(jnp.float32) / 32768.0
+            return self.model.apply(
+                variables, audio, lengths,
+                deterministic=True, use_running_average=True,
             )
-        )
+
+        self._apply = jax.jit(apply_fp)
 
         def apply_decode(variables, audio, lengths):
+            # int16 inputs (TILAWA_INT16_UPLOAD) are PCM samples — halve
+            # the host->device audio bytes over the tunnel and rescale
+            # in-graph (the source files are 16-bit PCM, so the cast is
+            # information-preserving).
+            if jnp.issubdtype(audio.dtype, jnp.integer):
+                audio = audio.astype(jnp.float32) / 32768.0
             lp, enc_lens = self.model.apply(
                 variables, audio, lengths,
                 deterministic=True, use_running_average=True,
@@ -109,7 +119,8 @@ class EncoderRuntime:
             # tiny id matrix while the log-probs stay device-resident for
             # the CTC rerank — on a tunneled backend every host<->device
             # copy is a network round trip, and [T, 1025] f32 is the only
-            # big tensor in the loop.
+            # big tensor in the loop. enc_lens rides as column 0 of the id
+            # matrix: ONE fetched buffer instead of two round trips.
             from tilawa_tpu.ops.ctc import FRAME_BUCKETS, _next_bucket
 
             t = lp.shape[1]
@@ -117,9 +128,15 @@ class EncoderRuntime:
             if t_pad != t:
                 lp = jnp.pad(lp, ((0, 0), (0, t_pad - t), (0, 0)))
             ids = jnp.argmax(lp, axis=-1).astype(jnp.int32)
-            return lp, enc_lens, ids
+            packed = jnp.concatenate(
+                [enc_lens.astype(jnp.int32)[:, None], ids], axis=1
+            )
+            return lp, packed
 
         self._apply_decode = jax.jit(apply_decode)
+        self._int16_upload = os.getenv(
+            "TILAWA_INT16_UPLOAD", "1"
+        ) not in ("", "0", "false")
         self._long_programs: dict[int, object] = {}
 
     def _long_program(self, k: int):
@@ -133,6 +150,8 @@ class EncoderRuntime:
 
         def apply_long(variables, audio, last_len):
             # audio [K, LONG_CHUNK]; last_len: true samples in final chunk
+            if jnp.issubdtype(audio.dtype, jnp.integer):
+                audio = audio.astype(jnp.float32) / 32768.0
             lengths = jnp.full((k,), LONG_CHUNK, jnp.int32).at[k - 1].set(
                 last_len
             )
@@ -179,12 +198,18 @@ class EncoderRuntime:
         forward(): (lp_device [T_pad, V], ids np [t_valid], t_valid)."""
         n = len(audio)
         k = self.chunk_count(n)
-        batch = np.zeros((k, LONG_CHUNK), dtype=np.float32)
+        dt = np.int16 if self._int16_upload else np.float32
+        batch = np.zeros((k, LONG_CHUNK), dtype=dt)
         last_len = 0
         for i in range(k):
             start = i * LONG_STEP
             piece = audio[start : start + LONG_CHUNK]
-            batch[i, : len(piece)] = piece
+            if dt == np.int16:
+                batch[i, : len(piece)] = np.clip(
+                    piece * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            else:
+                batch[i, : len(piece)] = piece
             last_len = len(piece)
         lp, t_valid, ids = self._long_program(k)(
             self.variables, jnp.asarray(batch), jnp.int32(last_len)
@@ -235,15 +260,22 @@ class EncoderRuntime:
         ids np [B, T_enc])... returned as (lp, lens, ids)."""
         n_max = max(len(a) for a in audios)
         n_pad = bucket_length(n_max)
-        batch = np.zeros((len(audios), n_pad), dtype=np.float32)
+        dt = np.int16 if self._int16_upload else np.float32
+        batch = np.zeros((len(audios), n_pad), dtype=dt)
         lengths = np.zeros(len(audios), dtype=np.int32)
         for i, a in enumerate(audios):
-            batch[i, : len(a)] = a
+            if dt == np.int16:
+                batch[i, : len(a)] = np.clip(
+                    a * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            else:
+                batch[i, : len(a)] = a
             lengths[i] = len(a)
-        lp, enc_lens, ids = self._apply_decode(
+        lp, packed = self._apply_decode(
             self.variables, jnp.asarray(batch), jnp.asarray(lengths)
         )
-        return lp, np.asarray(enc_lens), np.asarray(ids)
+        packed = np.asarray(packed)
+        return lp, packed[:, 0], packed[:, 1:]
 
     def warmup(self, bucket_samples: tuple[int, ...] = (64000, 128000, 256000)):
         for n in bucket_samples:
@@ -344,10 +376,18 @@ class StreamingEncoderCache:
         b_pad = 1
         while b_pad < len(to_run):
             b_pad *= 2
-        batch = np.zeros((b_pad, LONG_CHUNK), dtype=np.float32)
+        # Mirror the runtime's upload dtype so cached-stitched numerics
+        # stay exactly equal to forward_long's (unit-tested contract).
+        dt = np.int16 if rt._int16_upload else np.float32
+        batch = np.zeros((b_pad, LONG_CHUNK), dtype=dt)
         lengths = np.zeros(b_pad, dtype=np.int32)
         for j, (_i, _key, piece) in enumerate(to_run):
-            batch[j, : len(piece)] = piece
+            if dt == np.int16:
+                batch[j, : len(piece)] = np.clip(
+                    piece * 32768.0, -32768, 32767
+                ).astype(np.int16)
+            else:
+                batch[j, : len(piece)] = piece
             lengths[j] = len(piece)
         lp_new, enc_lens = rt._apply(
             rt.variables, jnp.asarray(batch), jnp.asarray(lengths)
