@@ -125,3 +125,61 @@ def test_http_static_app_shell(db):
         assert b"404" in data.split(b"\r\n")[0]
 
     asyncio.run(scenario())
+
+
+def test_model_loading_gate(db):
+    """Audio fed before the model is ready gets model_loading progress
+    replies instead of being decoded (server-side analogue of the
+    reference's model-cache download progress, model-cache.ts:38-70)."""
+
+    class FakeLoader:
+        state = {"phase": "verify", "progress": 0.4, "ready": False}
+
+        def __call__(self, audio):  # pragma: no cover - must not be hit
+            raise AssertionError("transcribe called before ready")
+
+    async def scenario():
+        server = RecitationServer(FakeLoader(), db=db)
+        srv = await wslib.serve(server.handle, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+        sock = await wslib.connect("127.0.0.1", port)
+
+        await sock.send_text("status")
+        status = json.loads((await sock.receive()).text)
+        assert status["model"]["phase"] == "verify"
+
+        await sock.send_bytes(np.zeros(4800, np.float32).tobytes())
+        reply = json.loads((await sock.receive()).text)
+        assert reply["type"] == "model_loading"
+        assert reply["phase"] == "verify"
+        assert reply["progress"] == 0.4
+
+        await sock.close()
+        srv.close()
+        await srv.wait_closed()
+
+    asyncio.run(scenario())
+
+
+def test_api_status_includes_model_state(db, tmp_path):
+    from tilawa_tpu.streaming.api import ApiService
+
+    api = ApiService(
+        db=db, storage_dir=tmp_path, backend="test",
+        model_state=lambda: {"phase": "warmup", "progress": 0.66,
+                             "ready": False},
+    )
+    assert api.status()["model"]["phase"] == "warmup"
+
+
+def test_static_serves_sw_and_manifest():
+    from tilawa_tpu.streaming.api import ApiService
+
+    for route, ctype in (
+        ("/sw.js", "text/javascript"),
+        ("/manifest.webmanifest", "application/manifest+json"),
+    ):
+        got = ApiService._static(route)
+        assert got is not None, route
+        status, content_type, body = got
+        assert status == 200 and content_type.startswith(ctype) and body

@@ -31,3 +31,14 @@ _os.environ.setdefault(
     _os.path.join(_os.path.dirname(_os.path.dirname(__file__)), ".jax_cache"),
 )
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+# Honor an EXPLICIT JAX_PLATFORMS=cpu: the axon sitecustomize registers the
+# remote-TPU plugin in a way that wins over the env var, so
+# `JAX_PLATFORMS=cpu python -m tilawa_tpu....` silently ran model-free
+# harnesses (tracker_oracle etc.) against the tunneled TPU. pytest already
+# forces cpu in tests/conftest.py; this extends the same guarantee to CLI
+# entry points.
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")

@@ -30,6 +30,7 @@ _STATIC_TYPES = {
     ".css": "text/css; charset=utf-8",
     ".json": "application/json",
     ".svg": "image/svg+xml",
+    ".webmanifest": "application/manifest+json",
 }
 
 
@@ -39,10 +40,12 @@ class ApiService:
         db: QuranDB | None = None,
         storage_dir: str | Path = "storage",
         backend: str = "unknown",
+        model_state=None,
     ):
         self.db = db or QuranDB()
         self.storage = Path(storage_dir)
         self.backend = backend
+        self.model_state = model_state  # callable -> load-progress dict
         self.started = time.time()
         self.reports_dir = self.storage / "reports"
         self.diagnostics_dir = self.storage / "diagnostics"
@@ -83,12 +86,18 @@ class ApiService:
     # ------------------------------------------------------------- handlers
 
     def status(self) -> dict:
-        return {
+        out = {
             "status": "ok",
             "backend": self.backend,
             "verses": self.db.total_verses,
             "uptime_s": round(time.time() - self.started, 1),
         }
+        if self.model_state is not None:
+            # model load/verify/warmup progress (the server-side analogue
+            # of the reference's model-cache download progress,
+            # model-cache.ts:38-70) — the shell polls this until ready.
+            out["model"] = self.model_state()
+        return out
 
     def _surah(self, raw: str):
         try:

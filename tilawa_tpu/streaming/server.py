@@ -45,7 +45,14 @@ class RecitationServer:
         self.engine = engine
         self._lock = asyncio.Lock()
         self.api = ApiService(db=self.db, storage_dir=storage_dir,
-                              backend=backend)
+                              backend=backend,
+                              model_state=lambda: self._model_state())
+
+    def _model_state(self) -> dict:
+        state = getattr(self.transcribe, "state", None)
+        if state is None:
+            return {"phase": "ready", "progress": 1.0, "ready": True}
+        return state
 
     def _make_engine(self, debug_sink):
         if self.engine == "tracker":
@@ -89,6 +96,7 @@ class RecitationServer:
                     await sock.send_text(json.dumps(
                         {"type": "status", "ok": True, "engine": self.engine,
                          "total_verses": self.db.total_verses,
+                         "model": self._model_state(),
                          "model_size_bytes": getattr(
                              self.transcribe, "model_size_bytes", 0),
                          "weights": getattr(self.transcribe, "weights", "")}))
@@ -120,6 +128,15 @@ class RecitationServer:
                     debug_on = bool(cmd.get("enabled", True))
                 continue
             samples = np.frombuffer(msg.data, dtype=np.float32)
+            model = self._model_state()
+            if not model.get("ready"):
+                # Audio before the model is up: report load progress
+                # instead of silently eating frames (reference: the UI
+                # renders model-cache download progress before the worker
+                # accepts audio, model-cache.ts:38-70).
+                await sock.send_text(json.dumps(
+                    {"type": "model_loading", **model}))
+                continue
             async with self._lock:
                 out = await loop.run_in_executor(None, engine.feed, samples)
             for event in debug_events:
@@ -131,34 +148,114 @@ class RecitationServer:
                 await sock.send_text(json.dumps(m, ensure_ascii=False))
 
 
-def _real_transcribe():
-    """Checkpoint-backed acoustic decode returning TranscribeResult (text +
-    log-probs for the tracker's acoustic fusion)."""
-    from tilawa_tpu.models.fastconformer import FastConformerConfig
-    from tilawa_tpu.pipeline.predict import Recognizer
-    from tilawa_tpu.pipeline.runtime import EncoderRuntime
-    from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
+class ModelLoader:
+    """Background model initialization with observable progress.
 
-    ckpt = shipped_checkpoint()
-    if ckpt:
-        config, variables = load_variables(ckpt)
-        runtime = EncoderRuntime(config, variables)
-    else:
-        runtime = EncoderRuntime(FastConformerConfig.large())
-    recognizer = Recognizer(runtime)
-    def fn(audio):
-        return recognizer.transcribe_result(audio)
+    The reference streams its 88 MB ONNX into IndexedDB with a per-chunk
+    progress callback the UI renders as a download bar
+    (reference: worker/model-cache.ts:38-70, main.ts model status). Here
+    the model lives server-side, so the analogue is load progress of the
+    weight bundle: sha-verify → deserialize → device upload → per-bucket
+    warmup, published through /api/status and as `model_loading` WS
+    replies until ready. The HTTP/WS surface comes up immediately; audio
+    fed before readiness gets progress messages instead of silence."""
 
-    # surfaced in the WS/REST status payloads (the browser's analogue of
-    # the reference's model-cache progress display, model-cache.ts:38-70)
-    fn.model_size_bytes = recognizer.model_size()
-    fn.weights = str(ckpt) if ckpt else "random-init"
-    return fn
+    def __init__(self, warmup: bool = True):
+        self.state: dict = {"phase": "starting", "progress": 0.0,
+                            "ready": False}
+        self.model_size_bytes = 0
+        self.weights = ""
+        self._fn = None
+        self.warmup = warmup
+
+    def _set(self, phase: str, progress: float, **extra) -> None:
+        self.state = {"phase": phase, "progress": round(progress, 3),
+                      "ready": phase == "ready", **extra}
+
+    def start(self) -> "ModelLoader":
+        import threading
+
+        t = threading.Thread(target=self._load, daemon=True)
+        t.start()
+        return self
+
+    def _load(self) -> None:
+        try:
+            import hashlib
+
+            from tilawa_tpu.models.fastconformer import FastConformerConfig
+            from tilawa_tpu.pipeline.predict import Recognizer
+            from tilawa_tpu.pipeline.runtime import EncoderRuntime
+            from tilawa_tpu.train.checkpoint import (
+                load_variables,
+                shipped_checkpoint,
+            )
+
+            ckpt = shipped_checkpoint()
+            if ckpt:
+                blob = ckpt / "variables.msgpack"
+                total = blob.stat().st_size if blob.exists() else 0
+                self._set("verify", 0.0, bytes_total=total, weights=str(ckpt))
+                # Chunked sha256 so progress is real, not performative —
+                # checked against export_metadata.json when present
+                # (reference: inference.ts:114-117 sha-verified assets).
+                h = hashlib.sha256()
+                done = 0
+                with open(blob, "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 22)
+                        if not chunk:
+                            break
+                        h.update(chunk)
+                        done += len(chunk)
+                        self._set("verify", done / max(total, 1),
+                                  bytes_total=total, weights=str(ckpt))
+                meta = ckpt / "export_metadata.json"
+                if meta.exists():
+                    want = json.loads(meta.read_text()).get("sha256", {}).get(
+                        "variables.msgpack"
+                    )
+                    if want and want != h.hexdigest():
+                        self._set("error", 0.0,
+                                  error="bundle sha256 mismatch")
+                        return
+                self._set("load", 0.0, weights=str(ckpt))
+                config, variables = load_variables(ckpt)
+                runtime = EncoderRuntime(config, variables)
+            else:
+                self._set("load", 0.0, weights="random-init")
+                runtime = EncoderRuntime(FastConformerConfig.large())
+            recognizer = Recognizer(runtime)
+            self.model_size_bytes = recognizer.model_size()
+            self.weights = str(ckpt) if ckpt else "random-init"
+            if self.warmup:
+                buckets = (64000, 128000, 256000)
+                for i, n in enumerate(buckets):
+                    self._set("warmup", i / len(buckets), bucket=n)
+                    runtime.forward(np.zeros(n, dtype=np.float32))
+            self._fn = recognizer.transcribe_result
+            self._set("ready", 1.0)
+        except Exception as e:  # noqa: BLE001 — surfaced to the client
+            self._set("error", 0.0, error=str(e))
+
+    @property
+    def ready(self) -> bool:
+        return self._fn is not None
+
+    def __call__(self, audio):
+        if self._fn is None:
+            raise RuntimeError(f"model not ready: {self.state}")
+        return self._fn(audio)
 
 
-async def _amain(host: str, port: int, backend: str, engine: str):
+def _real_transcribe(warmup: bool = True) -> ModelLoader:
+    return ModelLoader(warmup=warmup).start()
+
+
+async def _amain(host: str, port: int, backend: str, engine: str,
+                 warmup: bool = True):
     if backend == "real":
-        transcribe = _real_transcribe()
+        transcribe = _real_transcribe(warmup=warmup)
     else:
         raise SystemExit(f"unknown backend {backend!r}")
     server = RecitationServer(transcribe, backend=backend, engine=engine)
@@ -178,8 +275,11 @@ def main():
     parser.add_argument("--backend", default="real")
     parser.add_argument("--engine", default="session",
                         choices=["tracker", "session"])
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip encoder warmup (CPU smoke runs)")
     args = parser.parse_args()
-    asyncio.run(_amain(args.host, args.port, args.backend, args.engine))
+    asyncio.run(_amain(args.host, args.port, args.backend, args.engine,
+                       warmup=not args.no_warmup))
 
 
 if __name__ == "__main__":
