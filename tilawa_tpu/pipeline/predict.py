@@ -222,8 +222,13 @@ class Recognizer:
         if PROFILE:
             self.last_profile["tta"] = time.perf_counter() - t_tta
             self.last_profile["audio_s"] = len(audio) / 16000.0
-        keys = [(p["surah"], p["ayah"]) for p in all_preds]
+        return self.tta_vote(all_preds)
 
+    @staticmethod
+    def tta_vote(all_preds: list[dict]) -> dict:
+        """Majority vote over [0.9x, 1.0x, 1.1x] predictions, highest-score
+        fallback (reference: c2c-direct-mixed-tta/run.py:133-148)."""
+        keys = [(p["surah"], p["ayah"]) for p in all_preds]
         counts: dict[tuple[int, int], int] = {}
         for k in keys:
             counts[k] = counts.get(k, 0) + 1

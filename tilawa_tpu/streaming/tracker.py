@@ -446,6 +446,7 @@ class RecitationTracker:
         self.did_final_flush = False
         self.cycles_since_commit = 0
         self.pending_leader: tuple[str, int] | None = None
+        self.rescue_leader: tuple[tuple[int, int], int] | None = None
         self.last_raw_transcript: str | None = None
 
         self.last_emitted_ref: tuple[int, int] | None = None
@@ -1312,6 +1313,24 @@ class RecitationTracker:
         verse = self.db.get_verse(*ref)
         if not verse:
             return []
+        # Mid-recitation, a single sub-5-char window is no basis for a
+        # commit: post-commit windows are dominated by leftover syllables
+        # the residual guard can't always recognize, and the CTC margin
+        # over 1-2 garbled tokens is noise (measured: a fragment of
+        # 80:3's tail rescue-committed 89:2 at margin 1.36 between 80:3
+        # and 80:4). Require the same short verse to lead on two
+        # consecutive rescue attempts; at utterance start (nothing
+        # emitted yet) a single confident window still commits — that is
+        # the rescue's real job ("والعصر").
+        if self.last_emitted_ref is not None:
+            if self.rescue_leader and self.rescue_leader[0] == ref:
+                self.rescue_leader = (ref, self.rescue_leader[1] + 1)
+            else:
+                self.rescue_leader = (ref, 1)
+            if self.rescue_leader[1] < 2:
+                self._diag(type="silence_skip", mode="discovery",
+                           reason=f"rescue needs repetition ({ref_key(*ref)})")
+                return []
         confidence = min(0.85, 0.5 + margin)
         msg = self._verse_match_message(verse, confidence)
         self.prev_emitted_ref = self.last_emitted_ref
@@ -1324,6 +1343,7 @@ class RecitationTracker:
             confidence=confidence, acoustic_margin=margin, strong=margin >= 0.3
         )
         self.pending_leader = None
+        self.rescue_leader = None
         self.cycles_since_commit = 0
         self.consecutive_auto_advances = 0
         self._diag(type="commit", ref=ref_key(*ref), reason="short_rescue",
@@ -2277,6 +2297,7 @@ class RecitationTracker:
         self.utterance_has_speech = False
         self.did_final_flush = False
         self.pending_leader = None
+        self.rescue_leader = None
         self.last_raw_transcript = None
         self.hypothesis.reset()
 
