@@ -222,7 +222,10 @@ class LMFusionExperiment(OracleExperiment):
     """Champion stack + n-gram shallow-fusion rescoring of the candidate
     list (reference: experiments/fastconformer-quran-lm-fusion/run.py —
     KenLM alpha 0.7 / beta 1.0; our LM is text/ngram.py over the same
-    corpus asset). Oracle acoustics until trained weights exist."""
+    corpus asset). Acoustics follow the weights: with a shipped champion
+    checkpoint the base predictions come from the REAL model (the
+    reference's fusion runs over the real FastConformer too), falling
+    back to the synthetic-oracle stack only when no weights exist."""
 
     def __init__(self, alpha: float = 0.7, beta: float = 1.0, **kw):
         super().__init__(**kw)
@@ -230,11 +233,32 @@ class LMFusionExperiment(OracleExperiment):
 
         self.lm = NGramLM.from_corpus_file(order=5)
         self.alpha, self.beta = alpha, beta
+        from tilawa_tpu.train.checkpoint import shipped_checkpoint
+
+        self._real = None
+        if shipped_checkpoint() is not None:
+            self._real = _make_recognizer(tta=False)
+            self.acoustics = "real"
+
+    def _base_predict(self, path: str) -> dict:
+        if self._real is not None:
+            return self._real.predict(path)
+        return super().predict(path)
+
+    def transcribe(self, path: str) -> str:
+        if self._real is not None:
+            return self._real.transcribe(path)
+        return super().transcribe(path)
+
+    def model_size(self) -> int:
+        if self._real is not None:
+            return self._real.model_size()
+        return 0
 
     def predict(self, path: str) -> dict:
         from tilawa_tpu.text.ngram import lm_rescore
 
-        result = super().predict(path)
+        result = self._base_predict(path)
         cands = result.get("candidates") or []
         if len(cands) > 1:
             texts = []
