@@ -440,6 +440,7 @@ class RecitationTracker:
     def reset(self) -> None:
         self.utterance_audio = np.zeros(0, dtype=np.float32)
         self.total_samples_fed = 0
+        self.peak_rms = 0.0
         self.new_audio_count = 0
         self.silence_samples = 0
         self.utterance_has_speech = False
@@ -464,6 +465,7 @@ class RecitationTracker:
         self.tracking_verse_words: list[str] = []
         self.tracking_last_word_idx = -1
         self.tracking_lexical_word_idx = -1
+        self.tracking_min_lexical_idx = 10**9
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
@@ -502,7 +504,25 @@ class RecitationTracker:
             self.utterance_audio = self.utterance_audio[-max_samples:]
         self.new_audio_count += len(samples)
 
-        if is_silence(samples, cfg.silence_rms_threshold):
+        # Adaptive silence floor: the configured absolute threshold is
+        # tuned for normal-level mics (reference: types.ts
+        # silence_rms_threshold 0.005), but very quiet recordings sit
+        # entirely below it (measured: tlog clips peaking at RMS 0.0026 —
+        # the whole clip read as silence and nothing was ever decoded).
+        # Scale the gate down to a fraction of the session's observed peak,
+        # never below a digital-noise floor; loud sessions are unchanged
+        # (min() keeps the configured value as the ceiling). This serves
+        # the product's speaker/recording-invariance constraint
+        # (reference README.md:198-208).
+        chunk_rms = (
+            float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+            if len(samples) else 0.0
+        )
+        self.peak_rms = max(self.peak_rms, chunk_rms)
+        eff_threshold = min(
+            cfg.silence_rms_threshold, max(8e-4, 0.25 * self.peak_rms)
+        )
+        if chunk_rms < eff_threshold:
             self.silence_samples += len(samples)
         else:
             self.silence_samples = 0
@@ -764,6 +784,26 @@ class RecitationTracker:
         # (a near-perfect leader is unambiguous even when another verse
         # embeds the same text — e.g. the bismillah inside 27:30)
         text_ambiguous = False
+        flush_tie_partial = False
+        # At final flush the gate must not defer (often no more audio is
+        # coming) — but a near-tie on a PARTIAL read is a mid-verse PAUSE
+        # flush between prefix-twins and the full-ratio pick is a coin
+        # flip (measured: 45:15 at 0.883 vs 41:46 at 0.881 on the shared
+        # opening "من عمل صالحا فلنفسه ومن أساء فعليها"). Commit, but
+        # leave the evidence WEAK so the superseded-commit rollback can
+        # retract it when the twin's distinguishing tail commits.
+        if final_flush and not is_continuation and _strip_bismillah(text):
+            rival_f = self._best_rival_text_score(effective, match, ranked)
+            leader_chars = len(
+                (effective.get("text_clean") or "").replace(" ", "")
+            )
+            text_chars_f = len(text.replace(" ", ""))
+            if (
+                score - rival_f < AMBIGUITY_GAP
+                and leader_chars
+                and text_chars_f < 0.8 * leader_chars
+            ):
+                flush_tie_partial = True
         # A pure-bismillah window is exempt: it IS 1:1 and simultaneously
         # the head of every surah's with-bismillah variant, so every rival
         # measure saturates at 1.0 and the gate would defer forever.
@@ -1059,7 +1099,8 @@ class RecitationTracker:
             self.last_commit_evidence = _CommitEvidence(
                 confidence=confidence,
                 acoustic_margin=acoustic_margin,
-                strong=clear_margin or repeated_leader,
+                strong=(clear_margin or repeated_leader)
+                and not flush_tie_partial,
             )
             self.pending_leader = None
             self.cycles_since_commit = 0
@@ -1856,9 +1897,16 @@ class RecitationTracker:
         # after a phantom commit) and must keep driving word_progress
         # without vouching for the verse identity.
         if primary_matched:
-            self.tracking_progress_established = True
+            # One scattered word per cycle is not established progress — a
+            # lone "ربك" matching the WRONG twin's "ربكم" immunized a
+            # coin-flip flush commit against the superseded rollback.
+            # Two matches in one cycle, or a match at the verse head, is.
+            if len(primary_matched) >= 2 or primary_matched[0] <= 1:
+                self.tracking_progress_established = True
             if primary_matched[-1] > self.tracking_lexical_word_idx:
                 self.tracking_lexical_word_idx = primary_matched[-1]
+            if primary_matched[0] < self.tracking_min_lexical_idx:
+                self.tracking_min_lexical_idx = primary_matched[0]
         self.tracking_last_word_idx = matched[-1]
         word_pos = self.tracking_last_word_idx + 1
         total_words = len(self.tracking_verse_words)
@@ -1879,9 +1927,15 @@ class RecitationTracker:
         # "confirmed" the phantom). Require a body of lexical matches
         # proportional to the verse, not just the furthest index.
         lex_match_floor = max(2, completion_target // 3)
+        # ... and the verse's ONSET must have been seen: one scattered
+        # stop-word per cycle accumulates past any count floor (measured:
+        # 10 pending cycles of mid-10:15 audio matched 10:16 only at
+        # w14/w16 — "من"/"قبله"-class words — never its opening). A verse
+        # actually being recited matches an early word in some cycle.
         lex_completed = (
             self.tracking_lexical_word_idx + 1 >= completion_target
             and self.tracking_primary_matches >= lex_match_floor
+            and self.tracking_min_lexical_idx <= 2
         )
 
         # Coverage-confirmed deferred emission (lexical evidence only).
@@ -2001,6 +2055,20 @@ class RecitationTracker:
                 self.pending_emission_message["surah"],
                 self.pending_emission_message["ayah"],
             ) == current_ref
+            # Completion driven PURELY by the acoustic/char fallbacks is a
+            # guess, not evidence the pending verse was recited: on short
+            # verses the fallbacks saturate on leftover audio (measured:
+            # 100:1's tail "completed" pending 100:2 then 100:3 with zero
+            # lexical matches — word_matches=0 on every cycle). Accept the
+            # completion only with lexical evidence OR a negative arming
+            # margin — the next verse's prefix scored acoustically BETTER
+            # than the current verse's suffix at advance time, which
+            # leftover audio of the old verse cannot produce (measured:
+            # genuine 95:2 armed at margin -6.5; phantom 100:2 at +2.2).
+            and (
+                self.tracking_progress_established
+                or self.pending_emission_margin < 0.0
+            )
         ):
             pending = self.pending_emission_message
             messages.append(pending)
@@ -2179,6 +2247,7 @@ class RecitationTracker:
         self.tracking_verse_words = verse["text_clean"].split()
         self.tracking_last_word_idx = -1
         self.tracking_lexical_word_idx = -1
+        self.tracking_min_lexical_idx = 10**9
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
@@ -2216,6 +2285,7 @@ class RecitationTracker:
         self.tracking_verse_words = []
         self.tracking_last_word_idx = -1
         self.tracking_lexical_word_idx = -1
+        self.tracking_min_lexical_idx = 10**9
         self.tracking_progress_established = False
         self.tracking_primary_matches = 0
         self.stale_speech_cycles = 0
