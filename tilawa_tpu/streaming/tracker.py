@@ -1773,6 +1773,7 @@ class RecitationTracker:
             and self.total_samples_fed > self.samples_at_advance
         ):
             pending = self.pending_emission_message
+            messages.extend(self._pending_gap_fill(pending))
             messages.append(pending)
             self._diag(
                 type="pending_emission", action="confirmed",
@@ -1945,6 +1946,7 @@ class RecitationTracker:
             and self.pending_emission_message is not None
         ):
             pending = self.pending_emission_message
+            messages.extend(self._pending_gap_fill(pending))
             messages.append(pending)
             self._diag(type="pending_emission", action="confirmed",
                        ref=f"{pending['surah']}:{pending['ayah']}",
@@ -2220,6 +2222,39 @@ class RecitationTracker:
         return len(words) - 1
 
     # ------------------------------------------------------------- plumbing
+
+    def _pending_gap_fill(self, pending: dict) -> list[dict]:
+        """Gap-fill at pending-CONFIRMATION time: when pending verse X was
+        dropped (its own confirmation evidence never arrived) and the
+        reciter demonstrably moved on to X+1 — whose pending emission IS
+        confirming right now — X is a hole the confirmation itself proves
+        (measured: 91:3 dropped by the stricter completed-while-pending
+        rule, 91:4 confirmed via prefix evidence, and the late discovery
+        re-commit of 91:3 landed out of order). Mirrors the discovery-path
+        gap-fill rules: fresh drop, same surah, exactly one ayah."""
+        if self.last_dropped_pending is None:
+            return []
+        (ds, da), at = self.last_dropped_pending
+        fresh = self.total_samples_fed - at <= self.config.samples(8.0)
+        if not (
+            fresh
+            and pending["surah"] == ds
+            and pending["ayah"] == da + 1
+        ):
+            return []
+        # (No emitted_end gap check here: arming already moved
+        # last_emitted_ref to the CONFIRMING verse, so the hole is between
+        # the pre-advance emission and the pending — the +1 relation above
+        # plus the not-already-emitted check below carry the constraint.)
+        if (ds, da) in self.emitted_refs_utterance:
+            return []
+        gap_verse = self.db.get_verse(ds, da)
+        if not gap_verse:
+            return []
+        self.last_dropped_pending = None
+        self._diag(type="commit", ref=ref_key(ds, da),
+                   reason="gap_fill_on_pending_confirm", confidence=0.72)
+        return [self._verse_match_message(gap_verse, 0.72)]
 
     def _verse_match_message(self, verse: dict, confidence: float) -> dict:
         full = self.db.get_verse(verse["surah"], verse["ayah"]) or verse
