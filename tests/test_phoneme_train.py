@@ -63,3 +63,29 @@ def test_swap_head_for_phonemes():
         deterministic=True, use_running_average=True,
     )
     assert lp.shape[-1] == 70
+
+
+def test_phoneme_peel_sequence_multi_verse():
+    """Concatenated reference phonemes of 36:1-5 (with mild corruption)
+    peel back into the contiguous sequence."""
+    from tilawa_tpu.data.phonemes import PhonemeStore
+    from tilawa_tpu.eval.experiments import PhonemeExperiment
+
+    store = PhonemeStore.load_default()
+    exp = PhonemeExperiment.__new__(PhonemeExperiment)  # no model needed
+    exp.store = store
+    parts = [store.refs[(36, a)] for a in range(1, 6)]
+    text = " | ".join(parts)
+    seq = exp._peel_sequence(text)
+    assert [(s, a) for s, a, _sc in seq] == [(36, a) for a in range(1, 6)]
+
+
+def test_phoneme_peel_sequence_single_verse():
+    from tilawa_tpu.data.phonemes import PhonemeStore
+    from tilawa_tpu.eval.experiments import PhonemeExperiment
+
+    store = PhonemeStore.load_default()
+    exp = PhonemeExperiment.__new__(PhonemeExperiment)
+    exp.store = store
+    seq = exp._peel_sequence(store.refs[(112, 1)])
+    assert [(s, a) for s, a, _sc in seq] == [(112, 1)]

@@ -320,6 +320,94 @@ class PhonemeExperiment:
             )
         return self.pipeline.transcribe_phonemes(path)
 
+    def _peel_sequence(
+        self, phonemes: str, max_verses: int = 12
+    ) -> list[tuple[int, int, float]]:
+        """Multi-verse phoneme decoding: repeatedly match the HEAD of the
+        remaining phoneme string against verse reference strings (with a
+        continuation bonus), emit, and trim the matched prefix — the
+        phoneme-space analogue of the full-transcript peel-off loop
+        (reference: shared/streaming.py:57-99; w2v-phonemes chunking +
+        voting, experiments/w2v-phonemes/run.py:234-293). A single whole-
+        verse clip degenerates to one iteration."""
+        from tilawa_tpu.text.levenshtein import ratio
+
+        # Every surah's verse-1 ref embeds the bismillah; a recited
+        # bismillah otherwise matches 1:1 (whose ref IS the bismillah)
+        # and the stripped remainder then misses (s,1) refs that still
+        # carry the prefix. Score both variants.
+        bsm = self.store.refs.get((1, 1), "")
+
+        def variants(s: int, a: int, ref: str) -> list[str]:
+            if a == 1 and bsm and ref.startswith(bsm) and len(ref) > len(bsm):
+                return [ref, ref[len(bsm):].strip(" |")]
+            return [ref]
+
+        out: list[tuple[int, int, float]] = []
+        remaining = phonemes.strip()
+        hint: tuple[int, int] | None = None
+        pending_bsm = False
+        while len(remaining.split()) >= 4 and len(out) < max_verses:
+            # Candidates from the full remainder AND a head window: the
+            # full-string ratio buries short verse-1 refs under a long
+            # multi-verse tail (36:1 ranked nowhere for a 5-verse string).
+            pool = {
+                (c["surah"], c["ayah"])
+                for c in self.store.match_verse(remaining, top_k=40)
+            }
+            if len(remaining) > 120:
+                pool |= {
+                    (c["surah"], c["ayah"])
+                    for c in self.store.match_verse(
+                        remaining[:120], top_k=40
+                    )
+                }
+                pool |= {
+                    (c["surah"], c["ayah"])
+                    for c in self.store.match_verse(remaining[:60], top_k=20)
+                }
+            if hint and (hint[0], hint[1] + 1) in self.store.refs:
+                pool.add((hint[0], hint[1] + 1))
+            best = None
+            for (s, a) in pool:
+                base_ref = self.store.refs.get((s, a)) or ""
+                if not base_ref:
+                    continue
+                for ref in variants(s, a, base_ref):
+                    pr = ratio(remaining[: len(ref) + 8], ref)
+                    bonus = (
+                        0.15 if hint and (s, a) == (hint[0], hint[1] + 1)
+                        else 0.0
+                    )
+                    if best is None or pr + bonus > best[0]:
+                        best = (pr + bonus, pr, s, a, ref)
+            if best is None or best[1] < 0.45:
+                break
+            _, pr, s, a, ref = best
+            if (s, a) == (1, 1) and not hint:
+                # A leading pure-bismillah read may be surah preamble, not
+                # Fatiha: hold it; emit only if surah 1 actually continues.
+                pending_bsm = True
+            else:
+                if pending_bsm:
+                    if (s, a) == (1, 2):
+                        out.append((1, 1, pr))
+                    pending_bsm = False
+                out.append((s, a, pr))
+            lo = max(1, int(len(ref) * 0.6))
+            hi = min(len(remaining), int(len(ref) * 1.4) + 4)
+            cut, cbest = min(hi, len(remaining)), -1.0
+            step = max(1, (hi - lo) // 24)
+            for c in range(lo, hi + 1, step):
+                r = ratio(remaining[:c], ref)
+                if r > cbest:
+                    cbest, cut = r, c
+            remaining = remaining[cut:].strip()
+            hint = (s, a)
+        if pending_bsm and not out:
+            out.append((1, 1, 0.5))
+        return out
+
     def predict(self, path: str) -> dict:
         """Phoneme decode → phoneme-space fuzzy retrieval (reference:
         experiments/w2v-phonemes/run.py Levenshtein over
@@ -332,7 +420,25 @@ class PhonemeExperiment:
             phonemes = self.store.decode_logprobs(lp, t)
         else:
             phonemes = self.pipeline.transcribe_phonemes(path)
+        seq = self._peel_sequence(phonemes)
+        if len(seq) > 1:
+            s0, a0, _ = seq[0]
+            ayahs = [a for s, a, _sc in seq if s == s0]
+            contiguous = (
+                len(ayahs) == len(seq)
+                and ayahs == list(range(a0, a0 + len(seq)))
+            )
+            if contiguous:
+                return {
+                    "surah": s0, "ayah": a0,
+                    "ayah_end": ayahs[-1],
+                    "score": sum(sc for _s, _a, sc in seq) / len(seq),
+                    "transcript": phonemes,
+                }
         matches = self.store.match_verse(phonemes, top_k=5)
+        if seq and (not matches or seq[0][2] >= matches[0]["score"]):
+            s0, a0, sc = seq[0]
+            matches = [{"surah": s0, "ayah": a0, "score": sc}] + matches
         if not matches:
             return {"surah": 0, "ayah": 0, "ayah_end": None, "score": 0.0,
                     "transcript": phonemes}
