@@ -428,7 +428,8 @@ class RecitationTracker:
         self.last_hypothesis_snapshot: dict | None = None
         # (surah, ayah) of the last DROPPED deferred emission + the sample
         # clock at the drop — fuels the gap-fill rule below
-        self.last_dropped_pending: tuple[tuple[int, int], int] | None = None
+        self.dropped_pendings: list[tuple[tuple[int, int], int]] = []
+        self.tie_rival_texts: list[str] = []
         # refs emitted in this utterance — final-flush dedup
         self.emitted_refs_utterance: set[tuple[int, int]] = set()
 
@@ -459,7 +460,7 @@ class RecitationTracker:
         self.last_commit_evidence: _CommitEvidence | None = None
         self.consecutive_auto_advances = 0
         self.emitted_refs_utterance = set()
-        self.last_dropped_pending = None
+        self.dropped_pendings = []
 
         self.tracking_verse: dict | None = None
         self.tracking_verse_words: list[str] = []
@@ -623,11 +624,13 @@ class RecitationTracker:
         # web/server.py:528-559 _strip_leading_residual — skipping at flush
         # drops recall on multi-ayah clips, but matching the raw residual
         # lets the continuation bonus commit a phantom next verse).
-        if (
-            self.last_emitted_text
-            and self.last_commit_evidence
-            and self.last_commit_evidence.strong
-        ):
+        # Weak (tie-flush) commits get residual processing too: their
+        # leftover tails otherwise commit shared-tail phantoms — 22:14's
+        # verbatim second half clear-margined 9:89 at flush, and the
+        # phantom then superseded-rolled-back the CORRECT verse. The
+        # skip/strip machinery's own guards (continuation check, length
+        # caps, next-verse break) keep genuinely new content flowing.
+        if self.last_emitted_text and self.last_commit_evidence:
             residual = partial_ratio(text, self.last_emitted_text)
             text_chars = len(text.replace(" ", ""))
             emitted_chars = len(self.last_emitted_text.replace(" ", ""))
@@ -644,9 +647,17 @@ class RecitationTracker:
                     residual = r2
                     emitted_chars = len(combined.replace(" ", ""))
             looks_like_leftover = text_chars <= math.ceil(emitted_chars * 1.15)
+            # Tie-rival passthrough: after a coin-flip (tie-flush) commit,
+            # a window matching the RECORDED rival's text better than the
+            # committed verse's is the rival's disambiguating tail.
+            rival_beats = any(
+                partial_ratio(text, rt) >= max(0.8, residual - 0.02)
+                for rt in self.tie_rival_texts
+            )
             if (
                 residual > 0.7 and looks_like_leftover and not final_flush
                 and not self._reads_as_continuation(text, residual)
+                and not rival_beats
             ):
                 self._diag(type="silence_skip", mode="discovery",
                            reason=f"residual={residual:.3f}")
@@ -804,6 +815,16 @@ class RecitationTracker:
                 and text_chars_f < 0.8 * leader_chars
             ):
                 flush_tie_partial = True
+                self._diag(type="flush_tie", leader=round(score, 3),
+                           rival=round(rival_f, 3))
+                # Remember WHO tied: later windows matching the rival's
+                # text better than the committed verse's are the
+                # disambiguating tail, not leftover — the residual skip
+                # lets them through (41:46's "وما ربك بظلام للعبيد" after
+                # the coin-flip 45:15 commit).
+                self.tie_rival_texts = self._rival_texts(
+                    effective, match, ranked
+                )
         # A pure-bismillah window is exempt: it IS 1:1 and simultaneously
         # the head of every surah's with-bismillah variant, so every rival
         # measure saturates at 1.0 and the gate would defer forever.
@@ -1023,42 +1044,35 @@ class RecitationTracker:
             # successor of a pending verse dropped within the last ~8 s
             # and that verse still fills a one-ayah gap after the emitted
             # end, emit it first at modest confidence.
-            if self.last_dropped_pending is not None:
-                (ds, da), at = self.last_dropped_pending
-                fresh = (
-                    self.total_samples_fed - at
-                    <= self.config.samples(8.0)
-                )
+            if self.dropped_pendings:
                 # Same-surah gap must be CONFIRMED (ADVICE r3): when
                 # emitted_end is None — last emission in another surah or
                 # rolled back — the dropped pending is most likely part of
                 # a misidentified chain, not a skipped verse, so don't
-                # resurrect it.
-                fills_gap = (
-                    emitted_end is not None and da == emitted_end + 1
-                )
-                if (
-                    fresh
-                    and fills_gap
-                    and ref[0] == ds
-                    and ref[1] == da + 1
-                    # only a confident non-flush successor commit counts as
-                    # evidence the reciter really passed through the gap —
-                    # a weak flush leader reachable via continuation bias
-                    # must not resurrect a rightly-dropped pending verse
+                # resurrect it. Only a confident non-flush successor
+                # commit counts as evidence the reciter really passed
+                # through the gap.
+                chain = (
+                    self._dropped_chain_for(
+                        ref[0], ref[1], require_bottom_after=emitted_end
+                    )
+                    if emitted_end is not None
                     and not final_flush_commit
                     and confidence >= 0.9
-                ):
+                    else []
+                )
+                for (ds, da) in chain:
                     gap_verse = self.db.get_verse(ds, da)
                     if gap_verse:
-                        gap_msg = self._verse_match_message(gap_verse, 0.72)
-                        messages.append(gap_msg)
+                        messages.append(
+                            self._verse_match_message(gap_verse, 0.72)
+                        )
                         self._diag(
                             type="commit", ref=ref_key(ds, da),
                             reason="gap_fill_dropped_pending",
                             confidence=0.72,
                         )
-                self.last_dropped_pending = None
+                self.dropped_pendings = []
             emit_msg = self._verse_match_message(effective, confidence)
             messages.append(emit_msg)
             self._diag(
@@ -1102,6 +1116,8 @@ class RecitationTracker:
                 strong=(clear_margin or repeated_leader)
                 and not flush_tie_partial,
             )
+            if not flush_tie_partial:
+                self.tie_rival_texts = []
             self.pending_leader = None
             self.cycles_since_commit = 0
             self.consecutive_auto_advances = 0
@@ -1119,6 +1135,34 @@ class RecitationTracker:
                 self._enter_tracking(track_verse)
                 self._retain_tail_after_commit()
         return messages
+
+    def _rival_texts(
+        self, effective: dict, match: dict | None, ranked: list[dict],
+        top_n: int = 3,
+    ) -> list[str]:
+        """text_clean of the strongest non-overlapping rivals — recorded at
+        a tie-flush commit so the residual skip can recognize the rival's
+        own disambiguating tail later."""
+        eff_s = effective["surah"]
+        eff_a = effective["ayah"]
+        eff_end = effective.get("ayah_end") or eff_a
+        pool = [r["candidate"] for r in ranked]
+        pool.extend((match or {}).get("runners_up") or [])
+        if match:
+            pool.append(match)
+        rivals: list[tuple[float, str]] = []
+        for c in pool:
+            a = c["ayah"]
+            a_end = c.get("ayah_end") or a
+            if c["surah"] == eff_s and a <= eff_end and a_end >= eff_a:
+                continue
+            t = c.get("text_clean") or (
+                self.db.get_verse(c["surah"], a) or {}
+            ).get("text_clean") or ""
+            if t:
+                rivals.append((float(c.get("score", 0.0)), t))
+        rivals.sort(key=lambda x: -x[0])
+        return [t for _s, t in rivals[:top_n]]
 
     def _best_rival_text_score(
         self, effective: dict, match: dict | None, ranked: list[dict]
@@ -1279,6 +1323,16 @@ class RecitationTracker:
             if nxt_text:
                 tail = " ".join(words[k - 1 :])
                 if ratio(tail[: len(nxt_text)], nxt_text) >= 0.85:
+                    break
+            # Tie-rival break (same rationale as the skip's passthrough):
+            # after a coin-flip commit, a tail reading as the RECORDED
+            # rival's content is its disambiguating evidence, not leftover.
+            if self.tie_rival_texts:
+                tail = " ".join(words[k - 1 :])
+                if any(
+                    partial_ratio(tail, rt) >= 0.9
+                    for rt in self.tie_rival_texts
+                ):
                     break
             prefix = " ".join(
                 w for w in words[:k] if any("؀" <= ch <= "ۿ" for ch in w)
@@ -2073,6 +2127,7 @@ class RecitationTracker:
             )
         ):
             pending = self.pending_emission_message
+            messages.extend(self._pending_gap_fill(pending))
             messages.append(pending)
             self._diag(
                 type="pending_emission", action="confirmed",
@@ -2223,38 +2278,59 @@ class RecitationTracker:
 
     # ------------------------------------------------------------- plumbing
 
-    def _pending_gap_fill(self, pending: dict) -> list[dict]:
-        """Gap-fill at pending-CONFIRMATION time: when pending verse X was
-        dropped (its own confirmation evidence never arrived) and the
-        reciter demonstrably moved on to X+1 — whose pending emission IS
-        confirming right now — X is a hole the confirmation itself proves
-        (measured: 91:3 dropped by the stricter completed-while-pending
-        rule, 91:4 confirmed via prefix evidence, and the late discovery
-        re-commit of 91:3 landed out of order). Mirrors the discovery-path
-        gap-fill rules: fresh drop, same surah, exactly one ayah."""
-        if self.last_dropped_pending is None:
+    def _dropped_chain_for(
+        self, surah: int, ayah: int, require_bottom_after: int | None = None,
+        max_len: int = 3,
+    ) -> list[tuple[int, int]]:
+        """Maximal consecutive run of recently-DROPPED pending verses
+        ending immediately before `surah:ayah`, ascending. Husary-pace
+        recitation can drop two pendings back to back (77:3 AND 77:4),
+        so the fill must walk a chain, not a single slot."""
+        window = self.config.samples(12.0)
+        fresh = {
+            r for r, at in self.dropped_pendings
+            if self.total_samples_fed - at <= window and r[0] == surah
+        }
+        chain: list[tuple[int, int]] = []
+        x = ayah - 1
+        while (
+            (surah, x) in fresh
+            and (surah, x) not in self.emitted_refs_utterance
+            and len(chain) < max_len
+        ):
+            chain.append((surah, x))
+            x -= 1
+        chain.reverse()
+        if not chain:
             return []
-        (ds, da), at = self.last_dropped_pending
-        fresh = self.total_samples_fed - at <= self.config.samples(8.0)
-        if not (
-            fresh
-            and pending["surah"] == ds
-            and pending["ayah"] == da + 1
+        if (
+            require_bottom_after is not None
+            and chain[0][1] != require_bottom_after + 1
         ):
             return []
-        # (No emitted_end gap check here: arming already moved
-        # last_emitted_ref to the CONFIRMING verse, so the hole is between
-        # the pre-advance emission and the pending — the +1 relation above
-        # plus the not-already-emitted check below carry the constraint.)
-        if (ds, da) in self.emitted_refs_utterance:
-            return []
-        gap_verse = self.db.get_verse(ds, da)
-        if not gap_verse:
-            return []
-        self.last_dropped_pending = None
-        self._diag(type="commit", ref=ref_key(ds, da),
-                   reason="gap_fill_on_pending_confirm", confidence=0.72)
-        return [self._verse_match_message(gap_verse, 0.72)]
+        return chain
+
+    def _pending_gap_fill(self, pending: dict) -> list[dict]:
+        """Gap-fill at pending-CONFIRMATION time: dropped pending verses
+        X (or X-1, X) whose successor is confirming right now are holes
+        the confirmation itself proves (measured: 91:3 dropped by the
+        stricter completed-while-pending rule, 91:4 confirmed via prefix
+        evidence, and the late discovery re-commit landed out of order;
+        multi_077 dropped BOTH 77:3 and 77:4 before 77:5 confirmed)."""
+        chain = self._dropped_chain_for(pending["surah"], pending["ayah"])
+        out: list[dict] = []
+        for (ds, da) in chain:
+            gap_verse = self.db.get_verse(ds, da)
+            if not gap_verse:
+                continue
+            self._diag(type="commit", ref=ref_key(ds, da),
+                       reason="gap_fill_on_pending_confirm", confidence=0.72)
+            out.append(self._verse_match_message(gap_verse, 0.72))
+        if chain:
+            self.dropped_pendings = [
+                e for e in self.dropped_pendings if e[0] not in set(chain)
+            ]
+        return out
 
     def _verse_match_message(self, verse: dict, confidence: float) -> dict:
         full = self.db.get_verse(verse["surah"], verse["ayah"]) or verse
@@ -2293,13 +2369,14 @@ class RecitationTracker:
         if self.tracking_pending_emission and self.pre_advance_snapshot:
             snap = self.pre_advance_snapshot
             if self.pending_emission_message:
-                self.last_dropped_pending = (
+                self.dropped_pendings.append((
                     (
                         self.pending_emission_message["surah"],
                         self.pending_emission_message["ayah"],
                     ),
                     self.total_samples_fed,
-                )
+                ))
+                del self.dropped_pendings[:-4]
             self.last_emitted_ref = snap["emitted_ref"]
             self.last_emitted_text = snap["emitted_text"]
             # Restore the message too: after a dropped pending emission
@@ -2403,6 +2480,7 @@ class RecitationTracker:
         self.did_final_flush = False
         self.pending_leader = None
         self.rescue_leader = None
+        self.tie_rival_texts = []
         self.last_raw_transcript = None
         self.hypothesis.reset()
 
