@@ -235,7 +235,7 @@ def main() -> None:
             batched = batched_corpus_eval(
                 recognizer,
                 [(sid, a, e) for sid, a, e, _alt in audios],
-                batch_size=8,
+                batch_size=int(os.getenv("TILAWA_BATCHED_BS", "8")),
             )
             OUT["audio_sec_per_sec_batched"] = batched["audio_sec_per_sec"]
             OUT["batched_recall"] = batched["recall"]

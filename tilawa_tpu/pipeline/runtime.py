@@ -255,9 +255,13 @@ class EncoderRuntime:
         t_valid = int(lens[0])
         return lp[0], ids[0, :t_valid], t_valid
 
-    def forward_batch(self, audios: list[np.ndarray]):
-        """Batched forward: (lp_device [B, T_bucket, V], enc_lens np [B],
-        ids np [B, T_enc])... returned as (lp, lens, ids)."""
+    def forward_batch_async(self, audios: list[np.ndarray]):
+        """Dispatch a batched forward WITHOUT synchronizing: returns
+        (lp_device, packed_device). XLA dispatch is asynchronous, so a
+        caller can queue every bucket's forward back-to-back and only then
+        fetch results — on the tunneled backend that hides the per-dispatch
+        network round trip behind device compute (the difference between
+        sum(RTT_i + compute_i) and RTT + sum(compute_i))."""
         n_max = max(len(a) for a in audios)
         n_pad = bucket_length(n_max)
         dt = np.int16 if self._int16_upload else np.float32
@@ -271,9 +275,14 @@ class EncoderRuntime:
             else:
                 batch[i, : len(a)] = a
             lengths[i] = len(a)
-        lp, packed = self._apply_decode(
+        return self._apply_decode(
             self.variables, jnp.asarray(batch), jnp.asarray(lengths)
         )
+
+    def forward_batch(self, audios: list[np.ndarray]):
+        """Batched forward: (lp_device [B, T_bucket, V], enc_lens np [B],
+        ids np [B, T_enc])... returned as (lp, lens, ids)."""
+        lp, packed = self.forward_batch_async(audios)
         packed = np.asarray(packed)
         return lp, packed[:, 0], packed[:, 1:]
 
