@@ -54,6 +54,9 @@ def _load_runtime(quant: str | None = None):
     from tilawa_tpu.pipeline.runtime import EncoderRuntime
     from tilawa_tpu.train.checkpoint import load_variables, shipped_checkpoint
 
+    long_chunking = os.getenv("TILAWA_LONG_CHUNKING", "") not in (
+        "", "0", "false"
+    )
     ckpt = shipped_checkpoint()
     if ckpt:
         config, variables = load_variables(ckpt)
@@ -62,11 +65,11 @@ def _load_runtime(quant: str | None = None):
 
             variables = quantize_variables(variables)
             config = quantized_config(config)
-        return EncoderRuntime(config, variables)
+        return EncoderRuntime(config, variables, long_chunking=long_chunking)
     config = FastConformerConfig.large()
     if quant:
         config = dataclasses.replace(config, quant=quant)
-    return EncoderRuntime(config)
+    return EncoderRuntime(config, long_chunking=long_chunking)
 
 
 def _make_recognizer(
@@ -83,6 +86,14 @@ def _make_recognizer(
 def _c2c_direct():
     """Full-precision reference algorithm (reference: c2c-direct/run.py)."""
     return _make_recognizer(tta=False, quant=None)
+
+
+@register("c2c-direct-tta")
+def _c2c_direct_tta():
+    """TTA on the checkpoint's NATIVE quantization (int8 streaming bundles
+    stay int8 — the mixed experiments repack to int4, which the Int8Dense
+    layout doesn't support)."""
+    return _make_recognizer(tta=True, quant=None)
 
 
 @register("c2c-direct-mixed")
