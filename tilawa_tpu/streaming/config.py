@@ -191,10 +191,14 @@ class HypothesisParams:
     # so emissions are scored relative to this bias. 1.0 per the round-3
     # offline sweep over v1+v2+v3 oracle dumps (hypothesis_sweep:
     # Viterbi seq-acc 0.80/0.82/0.80 -> 0.93/0.88/0.89 vs the old 0.8).
-    # Higher values score better still on the oracle (1.35 -> 0.98 v1)
-    # but converge the path onto commits alone — a commit-less flow of
-    # 0.95-confidence candidates must still be explainable by the path
-    # (real streaming runs have sparse, sometimes wrong commits).
+    # Higher values score better still on the oracle (1.35 -> 0.98 v1;
+    # round-4 sweep: 1.1 lifts the v1 oracle Viterbi 0.864 -> 0.909 and
+    # v3 offline +1.2pp) but converge the path onto commits alone — at
+    # 1.1 a commit-less flow of two 0.8-confidence cycles already
+    # finalizes to NOTHING (tests/test_tracker.py
+    # test_continuation_beats_jump), so 1.0 stays: real streaming runs
+    # have sparse, sometimes wrong commits and the path must still
+    # explain candidate-only evidence.
     emission_bias: float = 1.0
 
 
