@@ -38,6 +38,8 @@ FALLBACK_THRESHOLD = float(os.getenv("TILAWA_THRESHOLD", "0.80"))
 TTA_SKIP_THRESHOLD = float(os.getenv("TILAWA_TTA_SKIP", "0.5"))
 TTA_FACTORS = (0.9, 1.1)
 PROFILE = os.getenv("TILAWA_PROFILE", "") not in ("", "0", "false")
+# Window-level streaming TTA (one [2, bucket] dispatch per decode cycle)
+STREAM_TTA = os.getenv("TILAWA_STREAM_TTA", "") not in ("", "0", "false")
 
 
 def _empty(transcript: str = "") -> dict:
@@ -310,6 +312,25 @@ class Recognizer:
 
                     self._stream_cache = StreamingEncoderCache(self.runtime)
                 lp, ids, t_valid = self._stream_cache.forward(audio)
+            elif STREAM_TTA and len(audio) >= 16000:
+                # Window-level TTA (VERDICT r3 task 1c): partial rolling
+                # windows are the streaming model's weak regime — decode
+                # the window AND a 0.9x-speed variant in ONE [2, bucket]
+                # dispatch and keep the richer decode (more non-blank
+                # tokens = the variant that "heard" more; ties prefer the
+                # unperturbed window).
+                from tilawa_tpu.data.audio import speed_perturb
+
+                lps, lens, ids_b = self.runtime.forward_batch(
+                    [audio, speed_perturb(audio, 0.9)]
+                )
+                t0v, t1v = int(lens[0]), int(lens[1])
+                d0 = collapse_ctc(ids_b[0, :t0v], self.runtime.blank_id)
+                d1 = collapse_ctc(ids_b[1, :t1v], self.runtime.blank_id)
+                if len(d1) > len(d0) + 1:
+                    lp, ids, t_valid = lps[1], ids_b[1, :t1v], t1v
+                else:
+                    lp, ids, t_valid = lps[0], ids_b[0, :t0v], t0v
             else:
                 lp, ids, t_valid = self.runtime.forward(audio)
             deduped = collapse_ctc(ids, self.runtime.blank_id)
