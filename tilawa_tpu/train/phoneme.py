@@ -145,10 +145,16 @@ def main(argv=None) -> int:
         print(f"dequantizing {args.init} for continuation")
         variables = dequantize_variables(variables)
         config = dequantized_config(config)
-    config, variables = swap_head_for_phonemes(
-        config, variables, store.num_classes, seed=args.seed
-    )
-    print(f"phoneme head: {store.num_classes} classes (blank {store.blank_id})")
+    if config.vocab_size == store.num_classes - 1:  # head outputs vocab+blank
+        # already a phoneme checkpoint (continuation training) — keep the
+        # trained head instead of re-initializing it
+        print(f"continuing phoneme training from {args.init}")
+    else:
+        config, variables = swap_head_for_phonemes(
+            config, variables, store.num_classes, seed=args.seed
+        )
+        print(f"phoneme head: {store.num_classes} classes "
+              f"(blank {store.blank_id})")
     from pathlib import Path
 
     init_dir = Path(args.checkpoint_dir) / "init"
