@@ -294,6 +294,11 @@ def _phoneme_checkpoint() -> Path | None:
     env = os.getenv("TILAWA_PHONEME_CKPT")
     if env:
         return Path(env)
+    # Shipped phoneme bundle first (the committed artifact — training
+    # checkpoints are transient); newest training step as the dev path.
+    shipped = Path("exports/phoneme-int8")
+    if (shipped / "variables.msgpack").exists():
+        return shipped
     steps = sorted(Path("checkpoints/phoneme").glob("step_*"))
     return steps[-1] if steps else None
 

@@ -98,6 +98,14 @@ def shipped_checkpoint() -> Path | None:
     if env:
         return Path(env)
     if EXPORTS_DIR.exists():
+        # The CHAMPION bundle is the shipped default, explicitly: the
+        # newest-mtime rule silently flipped serving/bench to whatever
+        # was exported last (measured: exports/heldout-int4 — the
+        # 5%-on-v1 honesty artifact — became every run's default the
+        # moment it was written).
+        champion = EXPORTS_DIR / "champion-int4"
+        if (champion / "variables.msgpack").exists():
+            return champion
         bundles = [p.parent for p in EXPORTS_DIR.rglob("variables.msgpack")]
         if bundles:
             return max(bundles, key=lambda p: p.stat().st_mtime)
