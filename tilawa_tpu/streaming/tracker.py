@@ -1408,24 +1408,22 @@ class RecitationTracker:
         verse = self.db.get_verse(*ref)
         if not verse:
             return []
-        # Mid-recitation, a single sub-5-char window is no basis for a
-        # commit: post-commit windows are dominated by leftover syllables
-        # the residual guard can't always recognize, and the CTC margin
-        # over 1-2 garbled tokens is noise (measured: a fragment of
-        # 80:3's tail rescue-committed 89:2 at margin 1.36 between 80:3
-        # and 80:4). Require the same short verse to lead on two
-        # consecutive rescue attempts; at utterance start (nothing
-        # emitted yet) a single confident window still commits — that is
-        # the rescue's real job ("والعصر").
-        if self.last_emitted_ref is not None:
-            if self.rescue_leader and self.rescue_leader[0] == ref:
-                self.rescue_leader = (ref, self.rescue_leader[1] + 1)
-            else:
-                self.rescue_leader = (ref, 1)
-            if self.rescue_leader[1] < 2:
-                self._diag(type="silence_skip", mode="discovery",
-                           reason=f"rescue needs repetition ({ref_key(*ref)})")
-                return []
+        # A single sub-5-char window is no basis for a commit: mid-
+        # recitation the windows are leftover syllables (a fragment of
+        # 80:3's tail rescue-committed 89:2 at margin 1.36), and at
+        # utterance START a real model's first partial windows decode
+        # garbage tokens that CTC-match some short verse with a huge
+        # margin (measured: phantom 106:1 at margin 3.4 before 44:30).
+        # Require the same short verse to lead two consecutive rescue
+        # attempts — a genuinely recited short verse keeps leading.
+        if self.rescue_leader and self.rescue_leader[0] == ref:
+            self.rescue_leader = (ref, self.rescue_leader[1] + 1)
+        else:
+            self.rescue_leader = (ref, 1)
+        if self.rescue_leader[1] < 2:
+            self._diag(type="silence_skip", mode="discovery",
+                       reason=f"rescue needs repetition ({ref_key(*ref)})")
+            return []
         confidence = min(0.85, 0.5 + margin)
         msg = self._verse_match_message(verse, confidence)
         self.prev_emitted_ref = self.last_emitted_ref
@@ -1434,8 +1432,12 @@ class RecitationTracker:
         self.last_emitted_msg = msg
         self.last_emitted_ref = ref
         self.last_emitted_text = verse["text_clean"]
+        # Rescue commits are single-window guesses: a later CONFIDENT
+        # different-surah commit must be able to supersede them no matter
+        # how large the CTC margin looked on garbled tokens (the phantom
+        # 106:1 scored margin 3.4 on start-of-utterance noise).
         self.last_commit_evidence = _CommitEvidence(
-            confidence=confidence, acoustic_margin=margin, strong=margin >= 0.3
+            confidence=confidence, acoustic_margin=margin, strong=False
         )
         self.pending_leader = None
         self.rescue_leader = None
@@ -1807,12 +1809,16 @@ class RecitationTracker:
                     recognized, pv["text_clean"].split(), 0,
                     cfg.lookahead_words,
                 )
-                # Same contiguity discipline as the confirmation rule:
-                # scattered stop-word hits ("قل"@0 + "ما"@4) are retrieval
-                # noise, not evidence the pending verse is being recited.
+                # Same contiguity + ONSET discipline as the confirmation
+                # rules: scattered stop-word hits ("قل"@0 + "ما"@4) are
+                # retrieval noise, and a lone mid-verse word from tail
+                # garbage is too (measured: two word_matches=1 cycles let
+                # phantom 9:61 flush-emit after 9:60 completed — real
+                # recitation of the next verse reads its OPENING words).
                 if (
                     pmatched
                     and (pmatched[-1] - pmatched[0] + 1) <= len(pmatched) + 2
+                    and pmatched[0] <= 2
                 ):
                     self.pending_lexical_matches += len(pmatched)
         self.tracking_primary_matches += len(primary_matched)
@@ -2111,6 +2117,14 @@ class RecitationTracker:
                 self.pending_emission_message["surah"],
                 self.pending_emission_message["ayah"],
             ) == current_ref
+            # "Completed" implies the verse was actually SPOKEN: demand at
+            # least ~0.35 s of fresh audio per verse word since arming
+            # (measured: phantom 84:24 — 3 words — "completed" on 0.6 s of
+            # tail garbage; genuine completions ride seconds of speech).
+            and (
+                self.total_samples_fed - self.samples_at_advance
+                >= cfg.samples(0.35 * max(len(self.tracking_verse_words), 1))
+            )
             # Completion driven PURELY by the acoustic/char fallbacks is a
             # guess, not evidence the pending verse was recited: on short
             # verses the fallbacks saturate on leftover audio (measured:
@@ -2123,7 +2137,17 @@ class RecitationTracker:
             # genuine 95:2 armed at margin -6.5; phantom 100:2 at +2.2).
             and (
                 self.tracking_progress_established
-                or self.pending_emission_margin < 0.0
+                or (
+                    self.pending_emission_margin < 0.0
+                    # ... and the reciter is actually still speaking: a
+                    # shallow negative margin during the trailing silence
+                    # confirmed phantom 84:24 (margin -0.32) off tail
+                    # garbage, then gap-filled 84:23 on top. Genuine
+                    # continuations (95:2 at -6.5, 77:5 at -0.16) ride
+                    # live speech.
+                    and self.silence_samples
+                    < cfg.samples(cfg.final_silence_sec)
+                )
             )
         ):
             pending = self.pending_emission_message
