@@ -611,7 +611,7 @@ class RecitationTracker:
         text = result.text.strip()
 
         if not text or len(text) < 5:
-            rescue = self._short_utterance_rescue(result)
+            rescue = self._short_utterance_rescue(result, final_flush)
             if rescue:
                 return rescue
             self._diag(type="silence_skip", mode="discovery",
@@ -1361,7 +1361,9 @@ class RecitationTracker:
                 best_k = k
         return " ".join(words[best_k:])
 
-    def _short_utterance_rescue(self, result: TranscribeResult) -> list[dict]:
+    def _short_utterance_rescue(
+        self, result: TranscribeResult, final_flush: bool = False
+    ) -> list[dict]:
         """CTC rescue over short-verse candidates when the transcript is too
         short to retrieve on (tracker.ts:1055-1110)."""
         cfg = self.config
@@ -1420,7 +1422,10 @@ class RecitationTracker:
             self.rescue_leader = (ref, self.rescue_leader[1] + 1)
         else:
             self.rescue_leader = (ref, 1)
-        if self.rescue_leader[1] < 2:
+        # At final flush no more audio is coming, so repetition is
+        # impossible — a 2-3 s clip of a tiny verse ("يس") produces ONE
+        # rescue-eligible window and must still commit.
+        if self.rescue_leader[1] < 2 and not final_flush:
             self._diag(type="silence_skip", mode="discovery",
                        reason=f"rescue needs repetition ({ref_key(*ref)})")
             return []
