@@ -258,6 +258,23 @@ def save_results(
         ):
             latest[key] = summary
 
+    # Garbage-collect superseded oracle rows: once an experiment has a
+    # real-acoustics row, its synthetic-acoustics rows (any scope) are
+    # stale bring-up artifacts, not results. Experiments that are oracle
+    # BY DESIGN (oracle / oracle-hard decision-stack validation) have no
+    # real row and are untouched.
+    real_names = {
+        (e.get("name"), e.get("mode", "full"))
+        for e in latest.values() if e.get("acoustics") == "real"
+    }
+    latest = {
+        k: e for k, e in latest.items()
+        if not (
+            e.get("acoustics") == "oracle"
+            and (e.get("name"), e.get("mode", "full")) in real_names
+        )
+    }
+
     with open(latest_path, "w", encoding="utf-8") as f:
         json.dump(
             sorted(

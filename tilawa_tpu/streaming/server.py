@@ -212,10 +212,22 @@ class ModelLoader:
                                   bytes_total=total, weights=str(ckpt))
                 meta = ckpt / "export_metadata.json"
                 if meta.exists():
-                    want = json.loads(meta.read_text()).get("sha256", {}).get(
-                        "variables.msgpack"
+                    # Bundle schema stores hashes under
+                    # files["variables.msgpack"]["sha256"] (train/export.py);
+                    # a bundle whose metadata lacks the hash is surfaced as
+                    # an error rather than silently passing verification.
+                    want = (
+                        json.loads(meta.read_text())
+                        .get("files", {})
+                        .get("variables.msgpack", {})
+                        .get("sha256")
                     )
-                    if want and want != h.hexdigest():
+                    if not want:
+                        self._set("error", 0.0,
+                                  error="export_metadata.json missing "
+                                        "variables.msgpack sha256")
+                        return
+                    if want != h.hexdigest():
                         self._set("error", 0.0,
                                   error="bundle sha256 mismatch")
                         return
