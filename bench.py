@@ -242,11 +242,18 @@ def main() -> None:
             # TTA-inclusive: the batched throughput and the batched recall
             # now come from the SAME path (VERDICT r3 weak #2)
             OUT["batched_tta_clips"] = batched.get("n_tta", 0)
-            if batched.get("forward_s"):
+            if batched.get("wall_s"):
+                # forwards overlap the host stack now, so device-only time
+                # is no longer separable on host: report end-to-end MFU
+                # (conservative — includes host decision-stack time).
                 mfu = (
-                    corpus_flops / batched["forward_s"] / V5E_BF16_PEAK_FLOPS
+                    corpus_flops / batched["wall_s"] / V5E_BF16_PEAK_FLOPS
                 )
-                OUT["mfu_batched_forward"] = round(mfu, 5)
+                OUT["mfu_batched_e2e"] = round(mfu, 5)
+                OUT["batched_fetch_wait_s"] = batched.get("fetch_wait_s")
+                OUT["batched_decode_s"] = batched.get("decode_s")
+                OUT["batched_predict_s"] = batched.get("predict_s")
+                OUT["batched_wall_s"] = batched.get("wall_s")
         except Exception as e:  # noqa: BLE001 — batched eval must not kill the bench
             _log(f"batched eval failed: {e}")
             OUT["batched_error"] = str(e)

@@ -48,11 +48,11 @@ def test_self_distill_full_window_kl_is_zero(tiny):
     cfg, tx, model, state = tiny
     teacher_vars = {"params": state.params, "batch_stats": state.batch_stats}
     step = make_distill_step(
-        model, model, teacher_vars, tx, cfg.blank_id,
+        model, model, tx, cfg.blank_id,
         kl_weight=1.0, ctc_weight=0.0,
     )
     batch = _batch([0, 0], [16000, 12800])
-    _new, (loss, kl, _ctc) = step(state, batch, jax.random.PRNGKey(0))
+    _new, (loss, kl, _ctc) = step(state, teacher_vars, batch, jax.random.PRNGKey(0))
     # identical nets, identical input window -> KL == 0 (up to fp noise)
     assert float(kl) < 1e-4, float(kl)
     assert float(loss) < 1e-4
@@ -69,12 +69,12 @@ def test_cropped_window_trains_and_freezes_bn(tiny):
     )
     teacher_vars = {"params": state.params, "batch_stats": state.batch_stats}
     step = make_distill_step(
-        model, model, teacher_vars, tx, cfg.blank_id,
+        model, model, tx, cfg.blank_id,
         kl_weight=1.0, ctc_weight=0.3,
     )
     # crops aligned to the frame stride
     batch = _batch([FRAME_STRIDE * 2, FRAME_STRIDE], [6400, 6400])
-    new, (loss, kl, ctc) = step(state, batch, jax.random.PRNGKey(0))
+    new, (loss, kl, ctc) = step(state, teacher_vars, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss)) and np.isfinite(float(ctc))
     # cropped window differs from full-context teacher -> KL strictly > 0
     assert float(kl) > 1e-6

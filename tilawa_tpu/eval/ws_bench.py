@@ -76,10 +76,71 @@ def emissions_from_messages(messages: list[dict]) -> list[tuple[int, int]]:
     return out
 
 
+async def run_concurrent(args, samples, corpus_dir) -> dict:
+    """--clients N: N concurrent real-time streams, one WS connection
+    each, all live at once — the TPU micro-batch dispatcher coalesces
+    their decode windows (streaming/dispatcher.py). Per-client
+    realtime_ok is falsifiable: a client that keeps real-time pace
+    finishes within its own audio duration + tail + fixed slack; a
+    server that falls behind the pace fails the bound."""
+    loaded = []
+    for s in samples:
+        path = corpus_dir / s["file"]
+        if not path.exists():
+            continue
+        try:
+            loaded.append((s, load_audio(path)))
+        except UnsupportedAudioFormat:
+            continue
+        if len(loaded) >= args.clients:
+            break
+    if len(loaded) < args.clients:
+        print(f"only {len(loaded)} decodable samples for "
+              f"{args.clients} clients")
+
+    async def one(s, audio):
+        t0 = time.perf_counter()
+        messages = await run_sample(args.host, args.port, audio, True)
+        wall = time.perf_counter() - t0
+        duration = len(audio) / SAMPLE_RATE + TAIL_SILENCE_SECONDS
+        # replay floor: pacing + 1 s grace + close; slack covers scheduling
+        ok = wall <= duration + 3.0
+        expected = s.get(
+            "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]
+        )
+        got = emissions_from_messages(messages)
+        sc = score_sequence(
+            expected, [{"surah": g[0], "ayah": g[1]} for g in got]
+        )
+        return {
+            "id": s["id"], "wall_s": round(wall, 2),
+            "audio_s": round(duration, 2), "realtime_ok": ok,
+            "sequence_accuracy": sc["sequence_accuracy"],
+            "recall": sc["recall"],
+        }
+
+    t0 = time.perf_counter()
+    rows = await asyncio.gather(*(one(s, a) for s, a in loaded))
+    wall = time.perf_counter() - t0
+    result = {
+        "clients": len(rows),
+        "all_realtime_ok": all(r["realtime_ok"] for r in rows),
+        "wall_s": round(wall, 2),
+        "mean_seq_acc": round(
+            sum(r["sequence_accuracy"] for r in rows) / max(len(rows), 1), 4
+        ),
+        "per_client": list(rows),
+    }
+    print(json.dumps(result, indent=1))
+    return result
+
+
 async def amain(args) -> dict:
     samples, corpus_dir = load_manifest(args.corpus)
     if args.category:
         samples = [s for s in samples if s["category"] == args.category]
+    if args.clients > 1:
+        return await run_concurrent(args, samples, corpus_dir)
     if args.limit:
         samples = samples[: args.limit]
 
@@ -128,6 +189,9 @@ def main(argv=None):
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--realtime", action="store_true",
                         help="pace chunks at real time instead of flat out")
+    parser.add_argument("--clients", type=int, default=1,
+                        help=">1: that many concurrent real-time streams "
+                             "(exercises the TPU micro-batch dispatcher)")
     args = parser.parse_args(argv)
     asyncio.run(amain(args))
 

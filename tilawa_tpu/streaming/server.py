@@ -37,13 +37,27 @@ from tilawa_tpu.streaming import ws as wslib
 class RecitationServer:
     def __init__(self, transcribe, db: QuranDB | None = None,
                  storage_dir: str = "storage", backend: str = "real",
-                 engine: str = "session"):
+                 engine: str = "session", micro_batch: bool = True):
         from tilawa_tpu.streaming.api import ApiService
 
+        self.dispatcher = None
+        if micro_batch and (
+            hasattr(transcribe, "recognizer")
+            or hasattr(transcribe, "transcribe_result")
+        ):
+            # Real model backends get the TPU micro-batching front end:
+            # concurrent sessions' decode windows coalesce into one
+            # bucketed dispatch instead of serializing behind a global
+            # lock (the reference's design, web/server.py:569).
+            from tilawa_tpu.streaming.dispatcher import MicroBatchDispatcher
+
+            self.dispatcher = MicroBatchDispatcher(transcribe)
+            transcribe = self.dispatcher
         self.transcribe = transcribe
         self.db = db or QuranDB()
         self.engine = engine
-        self._lock = asyncio.Lock()
+        # plain-callable backends (tests, mocks) keep the serialized path
+        self._lock = asyncio.Lock() if self.dispatcher is None else None
         self.api = ApiService(db=self.db, storage_dir=storage_dir,
                               backend=backend,
                               model_state=lambda: self._model_state())
@@ -79,6 +93,16 @@ class RecitationServer:
         return RecitationSession(as_text, db=self.db)
 
     async def handle(self, sock: wslib.WebSocket, path: str) -> None:
+        if self.dispatcher is not None:
+            self.dispatcher.session_started()
+            try:
+                await self._handle(sock, path)
+            finally:
+                self.dispatcher.session_ended()
+        else:
+            await self._handle(sock, path)
+
+    async def _handle(self, sock: wslib.WebSocket, path: str) -> None:
         loop = asyncio.get_event_loop()
         debug_on = False
         debug_events: list[dict] = []
@@ -137,7 +161,16 @@ class RecitationServer:
                 await sock.send_text(json.dumps(
                     {"type": "model_loading", **model}))
                 continue
-            async with self._lock:
+            if self._lock is not None:
+                # plain-callable backend: serialize across sessions
+                # (the reference's global transcribe lock, server.py:569)
+                async with self._lock:
+                    out = await loop.run_in_executor(None, engine.feed, samples)
+            else:
+                # micro-batched backend: sessions feed concurrently; the
+                # dispatcher coalesces their decode windows on the TPU.
+                # Per-session ordering holds because each connection's
+                # frames are processed sequentially in this loop.
                 out = await loop.run_in_executor(None, engine.feed, samples)
             for event in debug_events:
                 await sock.send_text(json.dumps(
@@ -163,6 +196,7 @@ class ModelLoader:
     def __init__(self, warmup: bool = True):
         self.state: dict = {"phase": "starting", "progress": 0.0,
                             "ready": False}
+        self.recognizer = None  # set when loaded; micro-batch target
         self.model_size_bytes = 0
         self.weights = ""
         self._fn = None
@@ -238,6 +272,7 @@ class ModelLoader:
                 self._set("load", 0.0, weights="random-init")
                 runtime = EncoderRuntime(FastConformerConfig.large())
             recognizer = Recognizer(runtime)
+            self.recognizer = recognizer  # micro-batch dispatcher target
             self.model_size_bytes = recognizer.model_size()
             self.weights = str(ckpt) if ckpt else "random-init"
             if self.warmup:

@@ -215,7 +215,6 @@ def _slice_to_front(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray):
 def make_distill_step(
     student: FastConformerCTC,
     teacher: FastConformerCTC,
-    teacher_variables: dict,
     tx,
     blank_id: int,
     kl_weight: float = 1.0,
@@ -228,7 +227,7 @@ def make_distill_step(
     collapse — EXPERIMENTS.md 2026-08-19 — reproduces on any shifted input
     distribution)."""
 
-    def step(state: TrainState, batch, rng):
+    def step(state: TrainState, teacher_variables, batch, rng):
         audio, audio_lens, crop_start, crop_len, tokens, token_lens = batch
         dropout_rng = jax.random.fold_in(rng, state.step)
 
@@ -332,18 +331,22 @@ def train_distill(
     )
     step_fn = jax.jit(
         make_distill_step(
-            student, teacher, t_vars, tx, s_cfg.blank_id,
+            student, teacher, tx, s_cfg.blank_id,
             kl_weight=kl_weight, ctc_weight=ctc_weight,
         ),
         donate_argnums=0,
     )
+    # teacher weights ride as an ARGUMENT (device-resident), never as
+    # compiled-in constants — baking them into the HLO blew the remote
+    # compile payload limit (HTTP 413) and would re-upload per bucket shape
+    t_vars = jax.device_put(t_vars)
     rng = jax.random.PRNGKey(seed + 1)
 
     history = []
     t0 = time.time()
     for i in range(steps):
         batch = next(batches)
-        state, (loss, kl, ctc) = step_fn(state, batch, rng)
+        state, (loss, kl, ctc) = step_fn(state, t_vars, batch, rng)
         if i % log_every == 0 or i == steps - 1:
             lv, klv, ctcv = float(loss), float(kl), float(ctc)
             history.append(lv)
