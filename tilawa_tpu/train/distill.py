@@ -36,10 +36,27 @@ import numpy as np
 import optax
 
 from tilawa_tpu.models.fastconformer import FastConformerConfig, FastConformerCTC
-from tilawa_tpu.train.train import TrainState, ctc_loss_fn, make_optimizer
+from tilawa_tpu.train.train import TrainState, make_optimizer
 
 # encoder frame stride in audio samples: mel hop 160 x subsampling 8
 FRAME_STRIDE = 1280
+
+
+def _ctc_per_token(log_probs, enc_lens, tokens, token_lens, blank_id: int):
+    """CTC NLL normalized per label token (mean over the batch)."""
+    import optax as _optax
+
+    b, t, _v = log_probs.shape
+    logit_paddings = (
+        jnp.arange(t)[None, :] >= enc_lens[:, None]
+    ).astype(jnp.float32)
+    label_paddings = (
+        jnp.arange(tokens.shape[1])[None, :] >= token_lens[:, None]
+    ).astype(jnp.float32)
+    losses = _optax.ctc_loss(
+        log_probs, logit_paddings, tokens, label_paddings, blank_id=blank_id
+    )
+    return (losses / jnp.maximum(token_lens, 1)).mean()
 
 
 # --------------------------------------------------------------------------
@@ -267,7 +284,10 @@ def make_distill_step(
                 jnp.exp(tl) * (tl - s_lp), axis=-1
             )  # [B, T] per-frame KL(teacher || student)
             kl = jnp.sum(kl * mask) / jnp.maximum(jnp.sum(mask), 1.0)
-            ctc = ctc_loss_fn(
+            # per-TOKEN CTC so the two terms share a scale (a raw
+            # per-sequence NLL of ~50-100 would drown the ~1-nat KL and
+            # turn this back into the plateaued crop-CTC recipe)
+            ctc = _ctc_per_token(
                 s_lp, s_enc_lens, tokens, token_lens, blank_id
             )
             return kl_weight * kl + ctc_weight * ctc, (kl, ctc)
