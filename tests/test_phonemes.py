@@ -177,3 +177,27 @@ class TestPhonemePipeline:
         cfg = FastConformerConfig.phoneme()
         assert cfg.blank_id == 69
         assert cfg.num_classes == 70
+
+
+def test_ngram_vote_localizes_fatiha():
+    from tilawa_tpu.data.phonemes import PhonemeStore
+
+    store = PhonemeStore.load_default()
+    # feed verses 2-4 of Al-Fatiha verbatim: the rarity vote must put
+    # surah 1 first with a contiguous run covering them
+    text = " ".join(
+        store.refs[(1, a)] for a in range(2, 5)
+    )
+    votes = store.ngram_vote(text)
+    assert votes, "no votes returned"
+    top = votes[0]
+    assert top["surah"] == 1
+    assert top["ayah"] <= 2 and top["ayah_end"] >= 4
+
+
+def test_ngram_vote_empty_and_short():
+    from tilawa_tpu.data.phonemes import PhonemeStore
+
+    store = PhonemeStore.load_default()
+    assert store.ngram_vote("") == []
+    assert store.ngram_vote("a b") == []

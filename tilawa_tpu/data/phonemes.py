@@ -94,6 +94,75 @@ class PhonemeStore:
             for i in order
         ]
 
+    def ngram_vote(
+        self, predicted_phonemes: str, n: int = 5, top_surahs: int = 5
+    ) -> list[dict]:
+        """Rarity-weighted phoneme n-gram surah voting (reference:
+        experiments/w2v-phonemes/run.py:234-293 — the retrieval idea, not
+        the model). Every n-gram of the predicted stream votes 1/df for
+        each (surah, ayah) that contains it; votes aggregate per surah and
+        the best CONTIGUOUS ayah run per top surah wins. Rare n-grams
+        localize a recitation even when the edit-ratio scan buries the
+        true verse under length mismatch — this widens the candidate pool
+        for the peel-off and span passes.
+
+        Returns [{surah, ayah, ayah_end, weight}] best-first."""
+        toks = [t for t in predicted_phonemes.split() if t != "|"]
+        if len(toks) < n:
+            return []
+        if not hasattr(self, "_ngram_index") or self._ngram_n != n:
+            positions: dict[tuple, list[tuple[int, int]]] = {}
+            counts: dict[tuple, int] = {}
+            for key, ref in self.refs.items():
+                rtoks = [t for t in ref.split() if t != "|"]
+                seen_here = set()
+                for i in range(len(rtoks) - n + 1):
+                    ng = tuple(rtoks[i:i + n])
+                    counts[ng] = counts.get(ng, 0) + 1
+                    if ng not in seen_here:
+                        positions.setdefault(ng, []).append(key)
+                        seen_here.add(ng)
+            self._ngram_index = (positions, counts)
+            self._ngram_n = n
+        positions, counts = self._ngram_index
+        votes: dict[tuple[int, int], float] = {}
+        for i in range(len(toks) - n + 1):
+            ng = tuple(toks[i:i + n])
+            hit = positions.get(ng)
+            if not hit:
+                continue
+            w = 1.0 / counts[ng]
+            for key in hit:
+                votes[key] = votes.get(key, 0.0) + w
+        if not votes:
+            return []
+        by_surah: dict[int, dict[int, float]] = {}
+        for (s, a), w in votes.items():
+            by_surah.setdefault(s, {})[a] = w
+        ranked = sorted(
+            by_surah.items(), key=lambda kv: sum(kv[1].values()), reverse=True
+        )
+        results: list[dict] = []
+        for surah, ayah_w in ranked[: top_surahs * 2]:
+            ayahs = sorted(ayah_w)
+            runs: list[tuple[int, int, float]] = []
+            rs = re = ayahs[0]
+            rw = ayah_w[rs]
+            for a in ayahs[1:]:
+                if a == re + 1:
+                    re, rw = a, rw + ayah_w[a]
+                else:
+                    runs.append((rs, re, rw))
+                    rs, re, rw = a, a, ayah_w[a]
+            runs.append((rs, re, rw))
+            best = max(runs, key=lambda r: r[2])
+            results.append(
+                {"surah": surah, "ayah": best[0], "ayah_end": best[1],
+                 "weight": best[2]}
+            )
+        results.sort(key=lambda r: r["weight"], reverse=True)
+        return results[:top_surahs]
+
     def reference_phonemes(self, surah: int, ayah: int, ayah_end: int | None = None) -> str:
         """Per-verse reference string; spans join verse strings with `|`."""
         if ayah_end is None or ayah_end <= ayah:

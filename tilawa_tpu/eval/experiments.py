@@ -384,6 +384,14 @@ class PhonemeExperiment:
                 }
             if hint and (hint[0], hint[1] + 1) in self.store.refs:
                 pool.add((hint[0], hint[1] + 1))
+            # Rarity 5-gram surah voting widens the pool with verses the
+            # edit-ratio scan buries under length mismatch (reference:
+            # w2v-phonemes/run.py:234-293 — ngram surahs union the
+            # Levenshtein surahs before the span pass).
+            for v in self.store.ngram_vote(remaining[:160]):
+                for a in range(v["ayah"], min(v["ayah_end"], v["ayah"] + 7) + 1):
+                    if (v["surah"], a) in self.store.refs:
+                        pool.add((v["surah"], a))
             best = None
             for (s, a) in pool:
                 base_ref = self.store.refs.get((s, a)) or ""
@@ -452,6 +460,23 @@ class PhonemeExperiment:
                     "transcript": phonemes,
                 }
         matches = self.store.match_verse(phonemes, top_k=5)
+        # Vote-seeded span candidates: score each top rarity-vote run as a
+        # whole span against the full phoneme string; a run that reads
+        # better than the single-verse leader becomes the match.
+        from tilawa_tpu.text.levenshtein import ratio as _ratio
+
+        for v in self.store.ngram_vote(phonemes):
+            a_end = min(v["ayah_end"], v["ayah"] + 7)
+            ref = self.store.reference_phonemes(v["surah"], v["ayah"], a_end)
+            if not ref:
+                continue
+            sc = _ratio(phonemes, ref)
+            if not matches or sc > matches[0]["score"]:
+                matches.insert(0, {
+                    "surah": v["surah"], "ayah": v["ayah"],
+                    "ayah_end": a_end if a_end > v["ayah"] else None,
+                    "score": sc,
+                })
         if seq and (not matches or seq[0][2] >= matches[0]["score"]):
             s0, a0, sc = seq[0]
             matches = [{"surah": s0, "ayah": a0, "score": sc}] + matches
@@ -460,7 +485,8 @@ class PhonemeExperiment:
                     "transcript": phonemes}
         best = matches[0]
         return {
-            "surah": best["surah"], "ayah": best["ayah"], "ayah_end": None,
+            "surah": best["surah"], "ayah": best["ayah"],
+            "ayah_end": best.get("ayah_end"),
             "score": best["score"], "transcript": phonemes,
             "candidates": matches,
         }
