@@ -119,3 +119,51 @@ class TestQuantizedModel:
         assert lin1["packed"].ndim == 3  # [L, K//2, N]
         assert lin1["packed"].shape[0] == cfg.num_layers
         assert lin1["scales"].ndim == 3
+
+
+class TestMixedQuant:
+    def test_mixed_forward_close_to_fp(self, fp_setup):
+        cfg, variables, audio, lengths, lp_fp, enc_fp = fp_setup
+        qvars = quantize_variables(variables, mode="mixed")
+        qcfg = quantized_config(cfg, mode="mixed", use_pallas=False)
+        qmodel = FastConformerCTC(qcfg)
+        lp, enc = qmodel.apply(qvars, audio, lengths)
+        assert (np.asarray(enc) == enc_fp).all()
+        # FFN int4 + int8 elsewhere: tighter than all-int4, looser than fp
+        diff = np.abs(np.asarray(lp) - lp_fp).max()
+        assert np.isfinite(diff)
+        agree = (
+            np.asarray(lp)[0, : enc_fp[0]].argmax(-1)
+            == lp_fp[0, : enc_fp[0]].argmax(-1)
+        ).mean()
+        # random-init logits are near-uniform, so argmax flips easily
+        # under quant noise; real-checkpoint parity is measured on-chip
+        assert agree > 0.8, agree
+
+    def test_mixed_smaller_than_int8_bigger_than_int4(self, fp_setup):
+        cfg, variables, *_ = fp_setup
+        s4 = packed_size_bytes(quantize_variables(variables, mode="int4"))
+        s8 = packed_size_bytes(quantize_variables(variables, mode="int8"))
+        sm = packed_size_bytes(quantize_variables(variables, mode="mixed"))
+        assert s4 < sm < s8
+
+    def test_mixed_leaf_structure(self, fp_setup):
+        cfg, variables, *_ = fp_setup
+        q = quantize_variables(variables, mode="mixed")["params"]
+
+        def walk(tree, path=""):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    if "packed" in v:
+                        yield path + k, "int4"
+                    elif "q" in v:
+                        yield path + k, "int8"
+                    else:
+                        yield from walk(v, path + k + "/")
+
+        kinds = dict(walk(q))
+        assert any(k.endswith("lin1") and m == "int4" for k, m in kinds.items())
+        assert all(
+            m == "int8" for k, m in kinds.items()
+            if k.rsplit("/", 1)[-1] in ("q", "k", "v", "out", "ctc_head")
+        )

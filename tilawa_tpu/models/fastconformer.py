@@ -144,6 +144,11 @@ class MaskedBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+# quant="mixed": module names whose kernels go int4 (the FFN bulk);
+# every other eligible Dense goes int8. See make_dense below.
+MIXED_INT4_NAMES = frozenset({"lin1", "lin2"})
+
+
 class Int4Dense(nn.Module):
     """Dense over packed int4 weights, dequantized inside the matmul kernel.
 
@@ -229,6 +234,17 @@ def make_dense(cfg: FastConformerConfig, features: int, name: str,
         return Int4Dense(features, cfg=cfg, use_bias=use_bias, name=name)
     if cfg.quant == "int8":
         return Int8Dense(features, cfg=cfg, use_bias=use_bias, name=name)
+    if cfg.quant == "mixed":
+        # The reference ships ONE mixed model for batch AND streaming:
+        # int4 on the MatMul bulk, int8 elsewhere (reference:
+        # experiments/c2c-direct-mixed/run.py:6-8, export_metadata.json
+        # "int4 MatMul + int8 Conv/LayerNorm"). Here the int4 set is the
+        # feed-forward pair — the parameter bulk — while the decision-
+        # critical projections (attention, conv pointwise, CTC head) stay
+        # int8: full-Dense int4 measurably craters crop-trained streaming
+        # logits (EXPERIMENTS.md round-3 quantization entry).
+        cls = Int4Dense if name in MIXED_INT4_NAMES else Int8Dense
+        return cls(features, cfg=cfg, use_bias=use_bias, name=name)
     if cfg.quant is not None:
         raise ValueError(f"unknown quant mode {cfg.quant!r}")
     return nn.Dense(features, dtype=cfg.dtype, use_bias=use_bias, name=name)

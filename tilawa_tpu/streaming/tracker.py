@@ -521,15 +521,20 @@ class RecitationTracker:
         )
         self.peak_rms = max(self.peak_rms, chunk_rms)
         # Only adapt DOWNWARD after sustained evidence the whole session is
-        # quiet (>=2 s observed and the peak still under the configured
-        # threshold). At session start peak_rms ~= 0, and an unconditional
-        # min() collapsed the floor to 8e-4, promoting ambient noise
+        # quiet: >=2 s observed with the peak still within 4x the
+        # configured threshold (quiet recordings peak ~0.003-0.02 even
+        # through plosive transients; normal mics peak 0.05+ as soon as
+        # real speech lands, which disables the adaptation for good). At
+        # session start peak_rms ~= 0, and an unconditional min()
+        # collapsed the floor to 8e-4, promoting ambient noise
         # (RMS 0.001-0.005) to speech on normal-level mics (ADVICE r4).
         if (
             self.total_samples_fed >= cfg.samples(2.0)
-            and self.peak_rms < cfg.silence_rms_threshold
+            and self.peak_rms < 4.0 * cfg.silence_rms_threshold
         ):
-            eff_threshold = max(8e-4, 0.25 * self.peak_rms)
+            eff_threshold = min(
+                cfg.silence_rms_threshold, max(8e-4, 0.25 * self.peak_rms)
+            )
         else:
             eff_threshold = cfg.silence_rms_threshold
         if chunk_rms < eff_threshold:

@@ -116,7 +116,8 @@ def main(argv=None):
     parser.add_argument("--out", default=None)
     parser.add_argument("--int4", action="store_true", default=True)
     parser.add_argument("--fp", dest="int4", action="store_false")
-    parser.add_argument("--quant", default=None, choices=["int4", "int8"],
+    parser.add_argument("--quant", default=None,
+                        choices=["int4", "int8", "mixed"],
                         help="explicit quantization mode (overrides --int4/--fp)")
     parser.add_argument("--verify", action="store_true",
                         help="verify an existing bundle instead of exporting")

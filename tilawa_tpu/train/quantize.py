@@ -49,7 +49,15 @@ def quantize_params(
             and "kernel" in sub
         ):
             kern = np.asarray(sub["kernel"])
-            if mode == "int8":
+            leaf_mode = mode
+            if mode == "mixed":
+                # reference recipe shape: int4 on the MatMul bulk, int8 on
+                # the decision-critical rest (models.fastconformer
+                # MIXED_INT4_NAMES; c2c-direct-mixed/run.py:6-8)
+                from tilawa_tpu.models.fastconformer import MIXED_INT4_NAMES
+
+                leaf_mode = "int4" if name in MIXED_INT4_NAMES else "int8"
+            if leaf_mode == "int8":
                 from tilawa_tpu.ops.quant import quantize_int8
 
                 q, scales = quantize_int8(kern)
