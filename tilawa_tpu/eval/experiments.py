@@ -432,10 +432,83 @@ class PhonemeExperiment:
             out.append((1, 1, 0.5))
         return out
 
+    def _ctc_rerank_phonemes(
+        self, lp, t_valid: int, phonemes: str,
+        seq: list[tuple[int, int, float]],
+    ) -> dict | None:
+        """Forced-alignment rerank of verse/span candidates against the
+        phoneme log-probs — the champion's decisive stage (reference:
+        c2c-direct/run.py:314-380) applied in phoneme space. The fuzzy
+        string match alone inherits every decode error; the CTC lattice
+        scores candidates against the model's own evidence instead."""
+        from tilawa_tpu.pipeline.rerank import SPAN_PENALTY, score_token_lists
+
+        cands: list[tuple[int, int, int | None]] = []
+        seen: set[tuple] = set()
+
+        def add(s: int, a: int, a_end: int | None) -> None:
+            if a_end is not None and a_end <= a:
+                a_end = None
+            key = (s, a, a_end)
+            if key in seen or (s, a) not in self.store.refs:
+                return
+            if a_end is not None and (s, a_end) not in self.store.refs:
+                return
+            seen.add(key)
+            cands.append(key)
+
+        singles = self.store.match_verse(phonemes, top_k=12)
+        for c in singles:
+            add(c["surah"], c["ayah"], None)
+        for v in self.store.ngram_vote(phonemes):
+            a_end = min(v["ayah_end"], v["ayah"] + 7)
+            add(v["surah"], v["ayah"], a_end if a_end > v["ayah"] else None)
+            add(v["surah"], v["ayah"], None)
+        if seq:
+            s0, a0, _ = seq[0]
+            add(s0, a0, None)
+            ayahs = [a for s, a, _sc in seq if s == s0]
+            if ayahs == list(range(a0, a0 + len(seq))) and len(seq) > 1:
+                add(s0, a0, ayahs[-1])
+        # span enumeration around the single-verse leaders
+        for c in singles[:4]:
+            for k in range(1, 6):
+                add(c["surah"], c["ayah"], c["ayah"] + k)
+            for back in range(1, 3):  # the leader may be mid-span
+                a0 = c["ayah"] - back
+                if a0 >= 1:
+                    add(c["surah"], a0, c["ayah"])
+        if not cands:
+            return None
+        token_lists = [
+            self.store.verse_ids(s, a, a_end) for s, a, a_end in cands
+        ]
+        scores = score_token_lists(
+            lp, t_valid, token_lists, blank_id=self.store.blank_id
+        )
+        best = None
+        for (s, a, a_end), nll in zip(cands, scores):
+            if not np.isfinite(nll):
+                continue
+            span = (a_end - a + 1) if a_end else 1
+            final = -float(nll) - SPAN_PENALTY * (span - 1)
+            if best is None or final > best[0]:
+                best = (final, float(nll), s, a, a_end)
+        if best is None:
+            return None
+        _final, nll, s, a, a_end = best
+        import math as _math
+
+        return {
+            "surah": s, "ayah": a, "ayah_end": a_end,
+            "score": _math.exp(-nll) if _math.isfinite(nll) else 0.0,
+            "transcript": phonemes, "source": "phoneme-ctc",
+        }
+
     def predict(self, path: str) -> dict:
-        """Phoneme decode → phoneme-space fuzzy retrieval (reference:
-        experiments/w2v-phonemes/run.py Levenshtein over
-        quran_phonemes.json)."""
+        """Phoneme decode → phoneme-space retrieval → CTC forced-alignment
+        rerank (reference: experiments/w2v-phonemes/run.py Levenshtein over
+        quran_phonemes.json + the champion's rerank stage)."""
         if self.acoustics == "oracle":
             # synthetic path: render corrupted phoneme log-probs for the
             # sample's true refs (marked acoustics='oracle' in results)
@@ -443,8 +516,12 @@ class PhonemeExperiment:
             lp, t = self.runtime.render(surah, ayah)
             phonemes = self.store.decode_logprobs(lp, t)
         else:
-            phonemes = self.pipeline.transcribe_phonemes(path)
+            from tilawa_tpu.data.audio import load_audio as _load
+
+            lp, t = self.runtime.log_probs(_load(path))
+            phonemes = self.store.decode_logprobs(lp, t)
         seq = self._peel_sequence(phonemes)
+        reranked = self._ctc_rerank_phonemes(lp, t, phonemes, seq)
         if len(seq) > 1:
             s0, a0, _ = seq[0]
             ayahs = [a for s, a, _sc in seq if s == s0]
@@ -453,12 +530,23 @@ class PhonemeExperiment:
                 and ayahs == list(range(a0, a0 + len(seq)))
             )
             if contiguous:
+                # the peel can cover arbitrarily long recitations; the
+                # rerank's span enumeration caps at 8 ayahs — only let the
+                # rerank override when it covers at least as much
+                r_span = (
+                    (reranked["ayah_end"] or reranked["ayah"])
+                    - reranked["ayah"] + 1
+                ) if reranked else 0
+                if reranked and r_span >= len(seq):
+                    return reranked
                 return {
                     "surah": s0, "ayah": a0,
                     "ayah_end": ayahs[-1],
                     "score": sum(sc for _s, _a, sc in seq) / len(seq),
                     "transcript": phonemes,
                 }
+        if reranked is not None:
+            return reranked
         matches = self.store.match_verse(phonemes, top_k=5)
         # Vote-seeded span candidates: score each top rarity-vote run as a
         # whole span against the full phoneme string; a run that reads
