@@ -451,6 +451,9 @@ class RecitationTracker:
         self.rescue_leader: tuple[tuple[int, int], int] | None = None
         self.last_raw_transcript: str | None = None
 
+        self.weak_flush_commit: dict | None = None
+        self.prev_weak_flush_commit: dict | None = None
+        self.unmatched_flush_text: tuple[str, int] | None = None
         self.last_emitted_ref: tuple[int, int] | None = None
         self.last_emitted_text = ""
         self.last_emitted_msg: dict | None = None
@@ -668,9 +671,10 @@ class RecitationTracker:
                 partial_ratio(text, rt) >= max(0.8, residual - 0.02)
                 for rt in self.tie_rival_texts
             )
+            reads_cont = self._reads_as_continuation(text, residual)
             if (
                 residual > 0.7 and looks_like_leftover and not final_flush
-                and not self._reads_as_continuation(text, residual)
+                and not reads_cont
                 and not rival_beats
             ):
                 self._diag(type="silence_skip", mode="discovery",
@@ -682,8 +686,14 @@ class RecitationTracker:
             # clear-margin a phantom (measured: 26:196 at 0.99 on
             # "ه ⁇ زكريا اذ" right after 19:2). Strip the leading residual
             # (reference: web/server.py:528-559 strips in discovery) and
-            # wait/skip if what remains is too short to match.
-            remainder = self._strip_residual_prefix(text)
+            # wait/skip if what remains is too short to match. A window the
+            # refrain guard vouches for is NEW content even when it fuzzy-
+            # matches the emitted text (identical-refrain surahs: 109:5's
+            # text == 109:3's — the strip ate the whole verse and the skip
+            # chain dropped 109:4-5), so it must not be stripped either.
+            remainder = (
+                text if reads_cont else self._strip_residual_prefix(text)
+            )
             if remainder != text:
                 if (
                     len(remainder.replace(" ", "")) < 5
@@ -773,6 +783,15 @@ class RecitationTracker:
             else cfg.first_match_threshold
         )
         if effective is None or score < threshold:
+            if final_flush and len(text.split()) >= 3:
+                # A flush that ends an utterance with NO commit may be the
+                # first half of a pause-chopped verse: stash the window so
+                # the next utterance's commit can try the joined reading
+                # (tlog_m059: "…viستنبونك احق هو قل اي" flushed uncommitted;
+                # the resumed tail then matched suffix-twin 6:134 instead
+                # of the true 10:53 — the JOINED text matches 10:53 at
+                # 0.955).
+                self.unmatched_flush_text = (text, self.total_samples_fed)
             if effective is not None and score >= RAW_TRANSCRIPT_THRESHOLD:
                 messages.append(
                     {"type": "raw_transcript", "text": text,
@@ -899,6 +918,11 @@ class RecitationTracker:
                 from_ref=ref_key(*self.last_emitted_ref),
                 to_ref=key,
             )
+        if blocked or text_ambiguous:
+            redeemed = self._try_joined_window_redemption(text)
+            if redeemed:
+                messages.extend(redeemed)
+                return messages
         if (
             not is_continuation
             and self.last_emitted_ref
@@ -965,6 +989,41 @@ class RecitationTracker:
                                 "text_clean", "")
                         )
                         key = ref_key(s0, a0, effective.get("ayah_end"))
+            # Joined-window upgrade: if the previous utterance flushed
+            # WITHOUT a commit, the current leader may be matching only
+            # the tail half of a pause-chopped verse (suffix twins win
+            # exactly there). If stash+window reads decisively better as
+            # one verse, commit THAT verse.
+            if self.unmatched_flush_text is not None:
+                stash, at0 = self.unmatched_flush_text
+                self.unmatched_flush_text = None
+                if self.total_samples_fed - at0 <= 15 * 16000:
+                    eff_raw = float(effective.get("score", 0.0))
+                    jm = self.db.match_verse(
+                        (stash + " " + text).strip(),
+                        max_span=4, seeded_spans=True,
+                    )
+                    if jm is not None and (
+                        jm["surah"], jm["ayah"],
+                    ) != (effective["surah"], effective["ayah"]):
+                        j_text = jm.get("text_clean") or (
+                            self.db.get_verse(jm["surah"], jm["ayah"]) or {}
+                        ).get("text_clean", "")
+                        if (
+                            jm["score"] >= max(0.85, eff_raw + 0.1)
+                            and j_text
+                            and partial_ratio(stash, j_text) >= 0.55
+                        ):
+                            effective = dict(jm)
+                            effective.setdefault("text_clean", j_text)
+                            key = ref_key(
+                                jm["surah"], jm["ayah"], jm.get("ayah_end")
+                            )
+                            self._diag(
+                                type="commit", ref=key,
+                                reason="joined_window_upgrade",
+                                confidence=round(float(jm["score"]), 2),
+                            )
             ref = (effective["surah"], effective["ayah"])
             emitted_end = None
             if self.last_emitted_ref and ref[0] == self.last_emitted_ref[0]:
@@ -1130,6 +1189,32 @@ class RecitationTracker:
                 strong=(clear_margin or repeated_leader)
                 and not flush_tie_partial,
             )
+            # A flush commit on a SHORT window with weak text evidence may
+            # be the first half of a pause-chopped verse; watch it for
+            # joined-window redemption if speech resumes.
+            # effective["score"] can carry fusion/blend influence; the
+            # pause-chop suspicion gate needs the RAW text ratio of the
+            # committed ref (the retrieval candidate's own score)
+            eff_text_score = float(effective.get("score", 0.0))
+            for r in ranked:
+                c = r["candidate"]
+                if (c["surah"], c["ayah"]) == ref:
+                    eff_text_score = float(c.get("score", 0.0))
+                    break
+            self.prev_weak_flush_commit = self.weak_flush_commit
+            if (
+                final_flush
+                and len(text.split()) <= 6
+                and eff_text_score < 0.65
+            ):
+                self.weak_flush_commit = {
+                    "ref": ref,
+                    "window_text": text,
+                    "text_score": eff_text_score,
+                    "at": self.total_samples_fed,
+                }
+            else:
+                self.weak_flush_commit = None
             if not flush_tie_partial:
                 self.tie_rival_texts = []
             self.pending_leader = None
@@ -1149,6 +1234,89 @@ class RecitationTracker:
                 self._enter_tracking(track_verse)
                 self._retain_tail_after_commit()
         return messages
+
+    def _try_joined_window_redemption(self, text: str) -> list[dict] | None:
+        """Pause-chopped mid-verse recovery: a final flush can land in the
+        MIDDLE of a verse (the reciter paused), and the flush commit then
+        resolves the half-window to some other short verse on weak text
+        evidence. When speech resumes, the post-pause windows read as the
+        true verse's TAIL — individually infeasible and blocked as
+        non-continuations, so the wrong commit survives (measured: 36:76
+        paused after four words; the flush window committed 77:36 at text
+        0.55, and every later window led 36:76 but was blocked). Joining
+        the flush window's text with the current window reconstructs the
+        whole verse: if that joined reading decisively out-scores the
+        suspect commit's own text evidence, roll the commit back and emit
+        the redeemed verse."""
+        rec = self.weak_flush_commit
+        if not rec or len(text.split()) < 2:
+            return None
+        if self.last_emitted_ref != rec["ref"]:
+            self.weak_flush_commit = None
+            return None
+        if self.total_samples_fed - rec["at"] > 15 * 16000:
+            self.weak_flush_commit = None
+            return None
+        joined = (rec["window_text"] + " " + text).strip()
+        jm = self.db.match_verse(
+            joined, max_span=4, seeded_spans=True
+        )
+        if jm is None:
+            return None
+        if (jm["surah"], jm["ayah"]) == rec["ref"]:
+            # the flush commit was right after all (possibly extended by a
+            # continuation span) — stop watching it
+            self.weak_flush_commit = None
+            return None
+        if (
+            jm["score"] < 0.85
+            or jm["score"] < rec["text_score"] + 0.15
+        ):
+            return None
+        # the flush window must read as part of the redeemed verse, or the
+        # join is a coincidence of the new window alone
+        j_text = jm.get("text_clean") or (
+            self.db.get_verse(jm["surah"], jm["ayah"]) or {}
+        ).get("text_clean", "")
+        if not j_text or partial_ratio(rec["window_text"], j_text) < 0.55:
+            return None
+        self.weak_flush_commit = None
+        out: list[dict] = []
+        rb = self._rollback_weak_commit("joined-window redemption", force=True)
+        if rb:
+            out.append(rb)
+        effective = dict(jm)
+        effective.setdefault("text_clean", j_text)
+        confidence = min(0.95, float(jm["score"]))
+        emit_msg = self._verse_match_message(effective, confidence)
+        out.append(emit_msg)
+        self._diag(
+            type="commit",
+            ref=ref_key(jm["surah"], jm["ayah"], jm.get("ayah_end")),
+            reason="joined_window_redemption",
+            confidence=round(confidence, 2),
+        )
+        self.prev_emitted_ref = self.last_emitted_ref
+        self.prev_emitted_text = self.last_emitted_text
+        self.prev_emitted_msg = self.last_emitted_msg
+        self.last_emitted_msg = emit_msg
+        self.last_emitted_ref = (jm["surah"], jm["ayah"])
+        a_end = jm.get("ayah_end") or jm["ayah"]
+        self.last_emitted_text = (
+            self.db.span_text(jm["surah"], jm["ayah"], a_end)
+            if a_end != jm["ayah"] else j_text
+        )
+        self.last_commit_evidence = _CommitEvidence(confidence, 1.0, True)
+        self.pending_leader = None
+        self.cycles_since_commit = 0
+        track_verse = (
+            self.db.get_verse(jm["surah"], a_end)
+            or self.db.get_verse(jm["surah"], jm["ayah"])
+        )
+        if track_verse:
+            self._enter_tracking(track_verse)
+            self._retain_tail_after_commit()
+        return out
 
     def _rival_texts(
         self, effective: dict, match: dict | None, ranked: list[dict],
@@ -1841,6 +2009,10 @@ class RecitationTracker:
                 ):
                     self.pending_lexical_matches += len(pmatched)
         self.tracking_primary_matches += len(primary_matched)
+        if primary_matched:
+            # lexical progress on the committed verse vouches for it — it
+            # was not a pause-chopped misread
+            self.weak_flush_commit = None
         confirmed_pending = False
 
         # Fresh-audio confirmation of a deferred next-verse emission.
@@ -2481,6 +2653,15 @@ class RecitationTracker:
         # the verse last_emitted_ref now points to (ADVICE r2).
         self.last_emitted_msg = self.prev_emitted_msg
         self.last_commit_evidence = None
+        # the rolled-back commit may have displaced a watched weak flush
+        # commit that is now the live emission again — revive its record
+        # so joined-window redemption still applies
+        if (
+            self.prev_weak_flush_commit
+            and self.prev_weak_flush_commit["ref"] == self.last_emitted_ref
+        ):
+            self.weak_flush_commit = self.prev_weak_flush_commit
+        self.prev_weak_flush_commit = None
         self._diag(
             type="rollback", reason=reason,
             restored_ref=ref_key(*self.prev_emitted_ref)

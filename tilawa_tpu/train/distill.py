@@ -229,6 +229,28 @@ def _slice_to_front(x: jnp.ndarray, start: jnp.ndarray, length: jnp.ndarray):
     return jnp.where((idx[None, :] < length[:, None])[..., None], rolled, 0.0)
 
 
+def _pool_teacher_time(t_lp: jnp.ndarray, pool: int) -> jnp.ndarray:
+    """Average teacher probabilities over a +-pool frame window (then
+    re-log). CTC peaks are alignment artifacts: a full-context teacher may
+    place a token's spike a frame or two away from where a partial-context
+    student can — frame-exact KL punishes that placement, which measurably
+    HURT streaming quality (distill1: v1 0.477 vs crop-CTC stream6 0.636).
+    Pooling keeps the token identity supervision while tolerating small
+    time shifts."""
+    if pool <= 0:
+        return t_lp
+    probs = jnp.exp(t_lp)
+    k = 2 * pool + 1
+    kernel = jnp.ones((k,), t_lp.dtype) / k
+    pooled = jax.vmap(  # over batch
+        lambda p: jax.vmap(  # over vocab
+            lambda col: jnp.convolve(col, kernel, mode="same"), in_axes=1,
+            out_axes=1,
+        )(p)
+    )(probs)
+    return jnp.log(jnp.maximum(pooled, 1e-10))
+
+
 def make_distill_step(
     student: FastConformerCTC,
     teacher: FastConformerCTC,
@@ -236,6 +258,7 @@ def make_distill_step(
     blank_id: int,
     kl_weight: float = 1.0,
     ctc_weight: float = 0.3,
+    teacher_pool: int = 0,
 ):
     """One jitted step: teacher forward on full audio (no grad), student
     forward on the crop, masked frame-KL + auxiliary crop-CTC loss.
@@ -253,7 +276,7 @@ def make_distill_step(
             teacher_variables, audio, audio_lens,
             deterministic=True, use_running_average=True,
         )
-        t_lp = jax.lax.stop_gradient(t_lp)
+        t_lp = jax.lax.stop_gradient(_pool_teacher_time(t_lp, teacher_pool))
         # Align teacher frames to the student's crop: student frame t is
         # teacher frame t + crop_start/FRAME_STRIDE.
         frame_off = crop_start // FRAME_STRIDE
@@ -318,6 +341,7 @@ def train_distill(
     checkpoint_every: int = 500,
     kl_weight: float = 1.0,
     ctc_weight: float = 0.3,
+    teacher_pool: int = 0,
     log_every: int = 20,
     dropout: float = 0.1,
 ):
@@ -353,6 +377,7 @@ def train_distill(
         make_distill_step(
             student, teacher, tx, s_cfg.blank_id,
             kl_weight=kl_weight, ctc_weight=ctc_weight,
+            teacher_pool=teacher_pool,
         ),
         donate_argnums=0,
     )
@@ -410,6 +435,9 @@ def main(argv=None) -> int:  # pragma: no cover - CLI
     parser.add_argument("--lr", type=float, default=3e-5)
     parser.add_argument("--kl-weight", type=float, default=1.0)
     parser.add_argument("--ctc-weight", type=float, default=0.3)
+    parser.add_argument("--teacher-pool", type=int, default=0,
+                        help="+-K frame teacher probability pooling "
+                             "(tolerates CTC peak shift)")
     parser.add_argument("--crop-prob", type=float, default=0.85)
     parser.add_argument("--corpora", default="all")
     parser.add_argument("--checkpoint-dir", default="checkpoints/distill1")
@@ -431,6 +459,7 @@ def main(argv=None) -> int:  # pragma: no cover - CLI
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         kl_weight=args.kl_weight, ctc_weight=args.ctc_weight,
+        teacher_pool=args.teacher_pool,
         dropout=args.dropout,
     )
     return 0
