@@ -1251,6 +1251,12 @@ class RecitationTracker:
         rec = self.weak_flush_commit
         if not rec or len(text.split()) < 2:
             return None
+        # identical windows repeat across trigger cycles while the reciter
+        # pauses — don't re-run the joined retrieval for the same pair
+        attempt = (rec["window_text"], text)
+        if getattr(self, "_last_redemption_attempt", None) == attempt:
+            return None
+        self._last_redemption_attempt = attempt
         if self.last_emitted_ref != rec["ref"]:
             self.weak_flush_commit = None
             return None
