@@ -57,7 +57,13 @@ def load_dumps(paths: list[str]) -> list[dict]:
     for path in paths:
         with open(path, encoding="utf-8") as f:
             data = json.load(f)
-        for s in data.get("per_sample", []):
+        if isinstance(data, list):
+            # validate_streaming save_results artifact: a list of result
+            # rows, each carrying its own per_sample
+            entries = [e for d in data for e in d.get("per_sample", [])]
+        else:
+            entries = data.get("per_sample", [])
+        for s in entries:
             if "hypothesis" in s:
                 if not (
                     s["hypothesis"].get("cycles")

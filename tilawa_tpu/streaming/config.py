@@ -200,6 +200,13 @@ class HypothesisParams:
     # have sparse, sometimes wrong commits and the path must still
     # explain candidate-only evidence.
     emission_bias: float = 1.0
+    # True = commits (expanded spans, in order) ARE the final sequence
+    # whenever any exist; the candidate-cycle Viterbi runs only for
+    # commit-less utterances. Measured on round-5 REAL-run dumps:
+    # commit-primary 0.769/0.537 (v1/v2) vs pure Viterbi 0.615/0.268 —
+    # see tracker.StreamingHypothesis.finalize. False reproduces the
+    # reference-faithful unconditional Viterbi (tracker.ts:314-431).
+    commit_primary: bool = True
 
 
 def hypothesis_params_from_env() -> HypothesisParams:
@@ -229,4 +236,5 @@ def hypothesis_params_from_env() -> HypothesisParams:
         skip_offset=env("SKIP_OFFSET", d.skip_offset),
         commit_anchor=env("COMMIT_ANCHOR", d.commit_anchor),
         emission_bias=env("EMISSION_BIAS", d.emission_bias),
+        commit_primary=bool(env("COMMIT_PRIMARY", 1.0 if d.commit_primary else 0.0)),
     )
