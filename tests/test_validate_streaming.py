@@ -68,7 +68,11 @@ def test_final_sequence_extraction():
         {"type": "final_sequence", "verses": [{"surah": 1, "ayah": 1}]},
         {"type": "final_sequence", "verses": [{"surah": 1, "ayah": 2}]},
     ]
-    assert final_sequence_from_messages(messages) == [{"surah": 1, "ayah": 2}]
+    # per-utterance final sequences concatenate across the clip (a
+    # mid-clip silence flush must not erase earlier utterances' verses)
+    assert final_sequence_from_messages(messages) == [
+        {"surah": 1, "ayah": 1}, {"surah": 1, "ayah": 2}
+    ]
     assert final_sequence_from_messages([{"type": "verse_match"}]) is None
 
 

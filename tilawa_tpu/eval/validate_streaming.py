@@ -108,14 +108,27 @@ def emissions_from_messages(messages: list[dict]) -> list[dict]:
 
 
 def final_sequence_from_messages(messages: list[dict]) -> list[dict] | None:
-    """The StreamingHypothesis Viterbi answer, if one was flushed."""
-    for m in reversed(messages):
-        if m.get("type") == "final_sequence":
-            return [
-                {"surah": v["surah"], "ayah": v["ayah"]}
-                for v in m.get("verses", [])
-            ]
-    return None
+    """The StreamingHypothesis final answer across the whole clip.
+
+    finalize() runs per UTTERANCE (reference: tracker.ts per-flush
+    Viterbi); a clip with a mid-clip silence flush emits several
+    final_sequence messages. Scoring only the last one dropped every
+    earlier utterance's verses (the hypothesis_sweep 'known limitation'),
+    so concatenate them in order with in-order dedup — the same
+    aggregation emissions get."""
+    out: list[dict] = []
+    seen: set[tuple[int, int]] = set()
+    found = False
+    for m in messages:
+        if m.get("type") != "final_sequence":
+            continue
+        found = True
+        for v in m.get("verses", []):
+            ref = (v["surah"], v["ayah"])
+            if ref not in seen:
+                seen.add(ref)
+                out.append({"surah": v["surah"], "ayah": v["ayah"]})
+    return out if found else None
 
 
 def run_validation(

@@ -47,10 +47,23 @@ def export_bundle(
     config, variables = load_variables(checkpoint)
     if mode and config.quant != mode:
         if config.quant:
-            raise ValueError(
-                f"checkpoint already quantized as {config.quant}; "
-                f"cannot re-quantize to {mode}"
+            # Re-quantization via dequantize round trip. From int8 this is
+            # quality-neutral (EXPERIMENTS.md round-3: int8 measured
+            # identical to fp on streaming); from int4 the source already
+            # lost precision — warn, don't refuse (a surviving int4 export
+            # may be the only artifact of a deleted checkpoint).
+            from tilawa_tpu.train.quantize import (
+                dequantize_variables,
+                dequantized_config,
             )
+
+            if config.quant == "int4" or config.quant == "mixed":
+                print(
+                    f"warning: re-quantizing a {config.quant} export; "
+                    "int4 source precision is already reduced"
+                )
+            variables = dequantize_variables(variables)
+            config = dequantized_config(config)
         variables = quantize_variables(variables, mode=mode)
         config = quantized_config(config, mode=mode)
 
