@@ -30,7 +30,8 @@ TAIL_SILENCE_SECONDS = 4.0
 
 
 async def run_sample(
-    host: str, port: int, audio: np.ndarray, realtime: bool = False
+    host: str, port: int, audio: np.ndarray, realtime: bool = False,
+    grace_s: float = 1.0,
 ) -> list[dict]:
     sock = await wslib.connect(host, port)
     messages: list[dict] = []
@@ -39,12 +40,15 @@ async def run_sample(
         [audio, np.zeros(int(SAMPLE_RATE * TAIL_SILENCE_SECONDS), np.float32)]
     )
 
+    last_msg_t = [time.perf_counter()]
+
     async def reader():
         try:
             while True:
                 msg = await sock.receive()
                 if msg.is_text:
                     messages.append(json.loads(msg.text))
+                    last_msg_t[0] = time.perf_counter()
         except wslib.ConnectionClosed:
             pass
 
@@ -53,11 +57,22 @@ async def run_sample(
         await sock.send_bytes(padded[i:i + chunk].astype(np.float32).tobytes())
         if realtime:
             await asyncio.sleep(CHUNK_SECONDS)
-    # grace period for the server to flush
-    await asyncio.sleep(1.0)
+    # grace: wait for the server to drain + flush — adaptive so a loaded
+    # server still gets to answer (the realtime_ok bound is measured
+    # separately; closing early would just delete the evidence)
+    waited = 0.0
+    last_n = len(messages)
+    while waited < max(grace_s, 8.0):
+        await asyncio.sleep(0.5)
+        waited += 0.5
+        if len(messages) != last_n:
+            last_n = len(messages)
+            continue
+        if waited >= grace_s:
+            break
     await sock.close()
     await asyncio.wait_for(task, timeout=5)
-    return messages
+    return messages, last_msg_t[0]
 
 
 def emissions_from_messages(messages: list[dict]) -> list[tuple[int, int]]:
@@ -100,8 +115,11 @@ async def run_concurrent(args, samples, corpus_dir) -> dict:
 
     async def one(s, audio):
         t0 = time.perf_counter()
-        messages = await run_sample(args.host, args.port, audio, True)
-        wall = time.perf_counter() - t0
+        messages, last_t = await run_sample(args.host, args.port, audio, True,
+                                            grace_s=2.5)
+        # wall to the server's LAST message — the client-side grace loop
+        # must not count against the server
+        wall = last_t - t0
         duration = len(audio) / SAMPLE_RATE + TAIL_SILENCE_SECONDS
         # replay floor: pacing + 1 s grace + close; slack covers scheduling
         ok = wall <= duration + 3.0
@@ -156,7 +174,9 @@ async def amain(args) -> dict:
         except UnsupportedAudioFormat:
             continue
         t0 = time.perf_counter()
-        messages = await run_sample(args.host, args.port, audio, args.realtime)
+        messages, _last = await run_sample(
+            args.host, args.port, audio, args.realtime
+        )
         latencies.append(time.perf_counter() - t0)
         expected = s.get(
             "expected_verses", [{"surah": s["surah"], "ayah": s["ayah"]}]

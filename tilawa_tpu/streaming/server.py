@@ -65,7 +65,14 @@ class RecitationServer:
     def _model_state(self) -> dict:
         state = getattr(self.transcribe, "state", None)
         if state is None:
-            return {"phase": "ready", "progress": 1.0, "ready": True}
+            state = {"phase": "ready", "progress": 1.0, "ready": True}
+        if self.dispatcher is not None:
+            state = dict(state)
+            state["micro_batch"] = {
+                "batches_dispatched": self.dispatcher.batches_dispatched,
+                "requests_served": self.dispatcher.requests_served,
+                "coalesced_requests": self.dispatcher.coalesced_requests,
+            }
         return state
 
     def _make_engine(self, debug_sink):
