@@ -521,7 +521,11 @@ class PhonemeExperiment:
             lp, t = self.runtime.log_probs(_load(path))
             phonemes = self.store.decode_logprobs(lp, t)
         seq = self._peel_sequence(phonemes)
-        reranked = self._ctc_rerank_phonemes(lp, t, phonemes, seq)
+        reranked = (
+            self._ctc_rerank_phonemes(lp, t, phonemes, seq)
+            if os.getenv("TILAWA_PHONEME_RERANK", "") not in ("", "0")
+            else None
+        )
         if len(seq) > 1:
             s0, a0, _ = seq[0]
             ayahs = [a for s, a, _sc in seq if s == s0]
