@@ -120,6 +120,14 @@ def final_sequence_from_messages(messages: list[dict]) -> list[dict] | None:
     seen: set[tuple[int, int]] = set()
     found = False
     for m in messages:
+        if m.get("type") == "verse_rollback":
+            # a retraction after the utterance's final_sequence was
+            # emitted (superseded-commit rollback) must retract there too
+            end = m.get("ayah_end") or m["ayah"]
+            refs = {(m["surah"], a) for a in range(m["ayah"], end + 1)}
+            out = [v for v in out if (v["surah"], v["ayah"]) not in refs]
+            seen -= refs
+            continue
         if m.get("type") != "final_sequence":
             continue
         found = True

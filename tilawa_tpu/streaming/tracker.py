@@ -428,6 +428,7 @@ class _CommitEvidence:
     confidence: float
     acoustic_margin: float
     strong: bool
+    rescue: bool = False  # single-window short-verse rescue (a guess)
 
 
 class RecitationTracker:
@@ -954,6 +955,33 @@ class RecitationTracker:
             blocked = True
 
         final_flush_commit = final_flush and score >= threshold
+        if final_flush_commit and not is_continuation and self.last_emitted_ref:
+            # Mid-recitation flush phantoms: a <=4-word garbled leftover
+            # window at final flush can match some other surah's verse
+            # tail well enough to clear the fusion threshold (measured:
+            # "من ا فيها حب" — 91:5's stripped leftover — committed 80:27
+            # at 0.99 after the full 91:1-5 sequence). Demand REAL text
+            # evidence from the candidate itself before a different-surah
+            # flush commit on so little audio.
+            raw_text = float(effective.get("score", 0.0))
+            for r in ranked:
+                c = r["candidate"]
+                if (c["surah"], c["ayah"]) == (
+                    effective["surah"], effective["ayah"],
+                ):
+                    raw_text = float(c.get("score", 0.0))
+                    break
+            if (
+                len(text.split()) <= 4
+                and effective["surah"] != self.last_emitted_ref[0]
+                and raw_text < 0.75
+            ):
+                final_flush_commit = False
+                self._diag(
+                    type="advance_decision", action="blocked",
+                    reason=f"flush short-window weak text ({raw_text:.2f})",
+                    to_ref=key,
+                )
 
         # Decode-stability gate on single-cycle clearMargin commits.
         clear_margin_allowed = clear_margin and not text_ambiguous
@@ -1118,11 +1146,25 @@ class RecitationTracker:
             # phantom stayed emitted). Weak-only via _rollback_weak_commit:
             # strong or progress-backed commits are never retracted, so a
             # genuine surah transition is unaffected.
+            prior_is_rescue = bool(
+                self.last_commit_evidence
+                and self.last_commit_evidence.rescue
+            )
             if (
                 not is_continuation
                 and self.last_emitted_ref
                 and ref[0] != self.last_emitted_ref[0]
-                and confidence >= 0.9
+                and (
+                    confidence >= 0.9
+                    # A REPEATED leader in another surah supersedes a
+                    # single-window rescue at any confidence: the rescue
+                    # was a guess on one garbled window; a leader that
+                    # keeps winning cycles is systematic evidence
+                    # (measured: start-of-utterance rescue 106:1 at margin
+                    # 1.03 survived 91:1-2's repeated-leader commit at
+                    # 0.77 and bracketed the whole correct sequence).
+                    or (repeated_leader and prior_is_rescue)
+                )
             ):
                 rb = self._rollback_weak_commit(
                     "superseded by non-continuation commit"
@@ -1651,7 +1693,8 @@ class RecitationTracker:
         # how large the CTC margin looked on garbled tokens (the phantom
         # 106:1 scored margin 3.4 on start-of-utterance noise).
         self.last_commit_evidence = _CommitEvidence(
-            confidence=confidence, acoustic_margin=margin, strong=False
+            confidence=confidence, acoustic_margin=margin, strong=False,
+            rescue=True,
         )
         self.pending_leader = None
         self.rescue_leader = None
