@@ -471,6 +471,7 @@ class RecitationTracker:
         self.cycles_since_commit = 0
         self.pending_leader: tuple[str, int] | None = None
         self.rescue_leader: tuple[tuple[int, int], int] | None = None
+        self.last_leader_candidate: tuple[dict, float] | None = None
         self.last_raw_transcript: str | None = None
 
         self.weak_flush_commit: dict | None = None
@@ -653,6 +654,37 @@ class RecitationTracker:
             rescue = self._short_utterance_rescue(result, final_flush)
             if rescue:
                 return rescue
+            # Flush-empty fallback: quiet short clips can spend their whole
+            # runway before the silence floor adapts, leaving ONE live
+            # cycle whose near-exact leader then dies when the flush window
+            # decodes to nothing (measured: retasy_v2_008 — the live cycle
+            # read 112:2's text verbatim at ~1.0, no commit fired, and the
+            # flush decoded empty; only the Viterbi path recovered it).
+            # With no commit this utterance and near-exact single-cycle
+            # text evidence, the flush commits that leader.
+            if (
+                final_flush
+                and self.last_emitted_ref is None
+                and getattr(self, "last_leader_candidate", None)
+            ):
+                cand, lscore = self.last_leader_candidate
+                if lscore >= 0.9:
+                    msg = self._verse_match_message(cand, min(0.95, lscore))
+                    self._diag(
+                        type="commit",
+                        ref=ref_key(cand["surah"], cand["ayah"],
+                                    cand.get("ayah_end")),
+                        reason="flush_last_leader",
+                        confidence=round(min(0.95, lscore), 2),
+                    )
+                    self.last_emitted_msg = msg
+                    self.last_emitted_ref = (cand["surah"], cand["ayah"])
+                    self.last_emitted_text = cand.get("text_clean", "")
+                    self.last_commit_evidence = _CommitEvidence(
+                        lscore, 0.0, False
+                    )
+                    self.last_leader_candidate = None
+                    return [msg]
             self._diag(type="silence_skip", mode="discovery",
                        reason="transcript too short")
             return messages
@@ -831,6 +863,12 @@ class RecitationTracker:
             self.pending_leader = (key, self.pending_leader[1] + 1)
         else:
             self.pending_leader = (key, 1)
+        # remembered for the flush-empty fallback below: a near-exact live
+        # leader must survive a flush window that decodes to nothing.
+        # RAW text score, not fusion (acoustics can push garbage to 0.9+)
+        self.last_leader_candidate = (
+            dict(effective), float(effective.get("score", 0.0))
+        )
 
         is_continuation = self._is_continuation(effective["surah"], effective["ayah"])
         clear_margin = length_fit >= 0.6 and acoustic_margin >= (
@@ -2774,6 +2812,7 @@ class RecitationTracker:
         self.did_final_flush = False
         self.pending_leader = None
         self.rescue_leader = None
+        self.last_leader_candidate = None
         self.tie_rival_texts = []
         self.last_raw_transcript = None
         self.hypothesis.reset()
