@@ -650,7 +650,11 @@ class RecitationTracker:
         result = self.transcribe(self.utterance_audio)
         text = result.text.strip()
 
-        if not text or len(text) < 5:
+        if not text or len(text.replace(" ", "")) < 5:
+            # content chars, not raw length: "لكم د" is 4 letters of real
+            # evidence — too little to retrieve on, exactly what the CTC
+            # short-verse rescue exists for (the space pushed it past the
+            # old gate and into a doomed discovery match)
             rescue = self._short_utterance_rescue(result, final_flush)
             if rescue:
                 return rescue
