@@ -1694,10 +1694,10 @@ class RecitationTracker:
         if not np.isfinite(scores[order[0]]) or not np.isfinite(scores[order[1]]):
             return []
         margin = float(scores[order[1]] - scores[order[0]])
-        if margin < cfg.acoustic_clear_margin:
-            return []
         best = shorts[int(order[0])]
         ref = (best["surah"], best["ayah"])
+        if margin < cfg.acoustic_clear_margin:
+            return []
         if self.last_emitted_ref == ref:
             return []
         verse = self.db.get_verse(*ref)
