@@ -997,6 +997,28 @@ class RecitationTracker:
             blocked = True
 
         final_flush_commit = final_flush and score >= threshold
+        if (
+            final_flush_commit
+            and is_continuation
+            and self.last_emitted_ref
+            and len(text.split()) <= 4
+        ):
+            # Trailing-audio phantom continuations: after a verse commits,
+            # a short garbled leftover window at flush can clear the fusion
+            # threshold for the NEXT verse (measured: "وس واياك نست" after
+            # 10:52 committed phantom 10:53 at 0.62). A genuine
+            # continuation fragment this short is the next verse's HEAD —
+            # demand it reads as such.
+            cont_head = " ".join(
+                (effective.get("text_clean", "") or "").split()[:5]
+            )
+            if cont_head and partial_ratio(text, cont_head) < 0.55:
+                final_flush_commit = False
+                self._diag(
+                    type="advance_decision", action="blocked",
+                    reason="flush continuation window not the verse head",
+                    to_ref=key,
+                )
         if final_flush_commit and not is_continuation and self.last_emitted_ref:
             # Mid-recitation flush phantoms: a <=4-word garbled leftover
             # window at final flush can match some other surah's verse
