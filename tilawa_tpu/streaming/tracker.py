@@ -569,6 +569,9 @@ class RecitationTracker:
             self.silence_samples = 0
             self.utterance_has_speech = True
             self.did_final_flush = False
+            # resumption after a flush commit: the advance machinery may
+            # run again — this is NEW evidence, not the committed tail
+            self.tracking_awaits_fresh_speech = False
 
         final_flush = (
             self.utterance_has_speech
@@ -1360,6 +1363,14 @@ class RecitationTracker:
             if track_verse:
                 self._enter_tracking(track_verse)
                 self._retain_tail_after_commit()
+                # A commit made DURING a final-flush cycle: the retained
+                # tail is the SAME audio that just committed the verse, so
+                # it must not "cover" the verse again and arm a phantom
+                # next-verse advance (measured: 85:22 flush commit → tail
+                # coverage 1.0 armed 86:1 at margin 0.31 → phantom
+                # emitted; same for 103:3→104:1). Advancing unlocks only
+                # after fresh SPEECH arrives (the reciter resuming).
+                self.tracking_awaits_fresh_speech = final_flush
         return messages
 
     def _try_joined_window_redemption(self, text: str) -> list[dict] | None:
@@ -2503,6 +2514,14 @@ class RecitationTracker:
             )
             return messages
 
+        if getattr(self, "tracking_awaits_fresh_speech", False):
+            self._diag(
+                type="advance_decision", action="blocked",
+                reason="flush-commit tail cannot arm an advance",
+                from_ref=ref_key(*current_ref),
+                to_ref=ref_key(next_verse["surah"], next_verse["ayah"]),
+            )
+            return messages
         # Arm deferred emission with a rollback snapshot.
         self.pre_advance_snapshot = {
             "emitted_ref": self.last_emitted_ref,
@@ -2703,6 +2722,7 @@ class RecitationTracker:
         ]
 
     def _enter_tracking(self, verse: dict) -> None:
+        self.tracking_awaits_fresh_speech = False
         self.tracking_verse = verse
         self.tracking_verse_words = verse["text_clean"].split()
         self.tracking_last_word_idx = -1
